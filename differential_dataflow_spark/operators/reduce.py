@@ -1,0 +1,187 @@
+"""General grouped reduction (reference ``reduce``, src/operators/reduce.rs:29-101).
+
+The reference's contract: group by key; present the user function with the
+*consolidated, value-sorted* list of ``(value, weight)`` pairs
+(src/operators/reduce.rs:40-42 — sorted so min/first-k are O(1)); the function
+emits an output ``(value, weight)`` list; the operator emits only the
+*differences* from the previously recorded output at each epoch where the
+input changed (src/operators/reduce.rs:280-287 — the
+``change.extend(output.drain(..).map(negate))`` retraction recipe).
+
+Spark realization: hash-shuffle on the key (``groupBy(keys)``) then one
+vectorized ``applyInPandas`` kernel per key group that replays that key's
+epochs in order. Per-key history is small (bounded per group), so the Python
+work is O(changes); the heavy lifting — shuffle, spill, Arrow transfer — is
+all JVM-side. Single-epoch extremum/top-k fast paths below stay entirely in
+Catalyst (no Python), mirroring the reference's total-order specializations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
+
+# logic: (key_tuple, [(value_tuple, weight), ...sorted]) -> [(out_tuple, weight), ...]
+ReduceLogic = Callable[[tuple, list[tuple[tuple, int]]], list[tuple[tuple, int]]]
+
+
+def reduce(
+    coll: DiffCollection,
+    keys: Sequence[str],
+    logic: ReduceLogic,
+    output_schema: str,
+) -> DiffCollection:
+    """Full multi-epoch reduce with retraction deltas.
+
+    ``output_schema`` lists the non-key output columns, e.g.
+    ``"min_v long, cnt long"``. Result payload = keys + those columns.
+    """
+    keys = list(keys)
+    value_cols = [c for c in coll.payload_columns if c not in keys]
+    full_schema = (
+        ", ".join(f"{k} {t}" for k, t in _schema_of(coll, keys))
+        + f", {output_schema}, {EPOCH} long, {DIFF} long"
+    )
+
+    def kernel(pdf):
+        import pandas as pd
+
+        key = tuple(pdf.iloc[0][k] for k in keys)
+        multiset: dict[tuple, int] = {}
+        prev_out: dict[tuple, int] = {}
+        out_rows: list[tuple] = []
+        for epoch, grp in pdf.sort_values(EPOCH).groupby(EPOCH, sort=True):
+            for row in grp.itertuples(index=False):
+                d = getattr(row, DIFF)
+                val = tuple(getattr(row, c) for c in value_cols)
+                w = multiset.get(val, 0) + d
+                if w:
+                    multiset[val] = w
+                else:
+                    multiset.pop(val, None)
+            sorted_input = sorted(
+                (v, w) for v, w in multiset.items() if w > 0
+            )
+            new_out: dict[tuple, int] = {}
+            if sorted_input:
+                for out_val, out_w in logic(key, sorted_input):
+                    new_out[tuple(out_val)] = new_out.get(tuple(out_val), 0) + out_w
+            for out_val, w in new_out.items():
+                delta = w - prev_out.get(out_val, 0)
+                if delta:
+                    out_rows.append(key + out_val + (epoch, delta))
+            for out_val, w in prev_out.items():
+                if out_val not in new_out and w:
+                    out_rows.append(key + out_val + (epoch, -w))
+            prev_out = new_out
+        n_out = len(full_schema.split(","))
+        if not out_rows:
+            return pd.DataFrame(columns=range(n_out)).astype(object)
+        return pd.DataFrame(out_rows)
+
+    out = coll.df.groupBy(*keys).applyInPandas(kernel, schema=full_schema)
+    return DiffCollection(out)
+
+
+def _schema_of(coll: DiffCollection, cols: Sequence[str]) -> list[tuple[str, str]]:
+    dtypes = dict(coll.df.dtypes)
+    return [(c, dtypes[c]) for c in cols]
+
+
+def reduce_extremum(
+    coll: DiffCollection,
+    keys: Sequence[str],
+    value: str,
+    minimum: bool = True,
+    single_epoch: bool = False,
+) -> DiffCollection:
+    """Per-key min/max (the reference's canonical reduce example,
+    src/operators/reduce.rs:55-60), output weight 1.
+
+    ``single_epoch=True`` takes the pure-Catalyst fast path (consolidate,
+    filter positive accumulations, hash-aggregate min/max) — valid whenever
+    all updates share one epoch, which is the batch-query case. The general
+    path handles arbitrary epoch histories with retractions by recomputing the
+    extremum at each per-key change point (a range join over epochs — still
+    Catalyst, no Python).
+    """
+    keys = list(keys)
+    agg = F.min if minimum else F.max
+    if single_epoch:
+        acc = (
+            coll.df.groupBy(*keys, value)
+            .agg(F.sum(DIFF).alias("__w"), F.min(EPOCH).alias(EPOCH))
+            .filter(F.col("__w") > 0)
+        )
+        out = acc.groupBy(*keys).agg(
+            agg(value).alias(value), F.min(EPOCH).alias(EPOCH)
+        )
+        return DiffCollection(out.withColumn(DIFF, F.lit(1).cast("long")))
+
+    # General path: change points = distinct (key, epoch); state at each
+    # change point = accumulation of updates with epoch <= point.
+    df = coll.df
+    points = df.select(*keys, EPOCH).distinct()
+    updates = df.select(
+        *[F.col(c).alias(f"__u_{c}") for c in keys],
+        F.col(value).alias("__val"),
+        F.col(EPOCH).alias("__ue"),
+        F.col(DIFF).alias("__ud"),
+    )
+    cond = [F.col(k) == F.col(f"__u_{k}") for k in keys] + [
+        F.col("__ue") <= F.col(EPOCH)
+    ]
+    state = (
+        points.join(updates, cond)
+        .groupBy(*keys, EPOCH, "__val")
+        .agg(F.sum("__ud").alias("__w"))
+        .filter(F.col("__w") > 0)
+        .groupBy(*keys, EPOCH)
+        .agg(agg("__val").alias(value))
+    )
+    # Emit deltas between consecutive change points per key.
+    w = Window.partitionBy(*keys).orderBy(EPOCH)
+    with_prev = state.withColumn("__prev", F.lag(value).over(w))
+    additions = with_prev.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(value))
+    ).select(*keys, value, EPOCH, F.lit(1).cast("long").alias(DIFF))
+    retractions = with_prev.filter(
+        F.col("__prev").isNotNull() & (F.col("__prev") != F.col(value))
+    ).select(
+        *keys,
+        F.col("__prev").alias(value),
+        F.col(EPOCH),
+        F.lit(-1).cast("long").alias(DIFF),
+    )
+    return DiffCollection(additions.unionByName(retractions))
+
+
+def top_k(
+    coll: DiffCollection,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DiffCollection:
+    """First k distinct values per key in sort order, weight 1 each —
+    the reference's top-k reduce idiom (src/operators/reduce.rs:55-60: keep
+    the first k of the sorted input). Single-epoch fast path; pure Catalyst
+    (consolidate + row_number window)."""
+    keys = list(keys)
+    value_cols = [c for c in coll.payload_columns if c not in keys]
+    acc = (
+        coll.df.groupBy(*keys, *value_cols)
+        .agg(F.sum(DIFF).alias("__w"), F.min(EPOCH).alias(EPOCH))
+        .filter(F.col("__w") > 0)
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = (
+        acc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*keys, *value_cols, EPOCH, F.lit(1).cast("long").alias(DIFF))
+    )
+    return DiffCollection(out)

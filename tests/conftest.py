@@ -1,0 +1,14 @@
+"""Shared Spark fixture: one local session for the whole test run."""
+
+from __future__ import annotations
+
+import pytest
+
+from differential_dataflow_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ddspark-tests", cores=4, shuffle_partitions=4)
+    yield s
+    s.stop()
