@@ -1,0 +1,540 @@
+"""Canonical queries: the engine's operator coverage surface.
+
+Each entry pairs a Spark implementation (built on DiffCollection — every one
+exercises a reference operator from SURVEY.md §2) with an ANSI-SQL oracle that
+DuckDB evaluates over the same parquet tables. The driver compares row count,
+schema, and order-insensitive value hashes, so every computed column is
+aliased identically on both sides and money aggregates are rounded/scaled to
+integers (cents) to avoid float-summation-order noise.
+
+Registry:
+    QUERIES:  name -> fn(spark, sf_dir) -> DataFrame
+    ORACLES:  name -> SQL string (omitted for non-SQL-expressible ops)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
+from differential_dataflow_spark.operators.iterate import semi_naive
+from differential_dataflow_spark.operators.upsert import (
+    upsert_latest,
+    upsert_update_stream,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _c(spark: SparkSession, sf_dir: str, name: str) -> DiffCollection:
+    return DiffCollection.from_df(_t(spark, sf_dir, name))
+
+
+# --------------------------------------------------------------------------- #
+# Differential-dataflow core operators (SURVEY.md §2.2-2.6) on the test tables
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "dd_degree_count",
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def dd_degree_count(spark, sf_dir):
+    """count (src/operators/count.rs): per-key sum of weights."""
+    return (
+        _c(spark, sf_dir, "orders")
+        .map(F.col("o_custkey"))
+        .count(["o_custkey"], alias="n_orders")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_degree_distribution",
+    """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs FROM (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey
+       ) GROUP BY n_orders""",
+)
+def dd_degree_distribution(spark, sf_dir):
+    """hello.rs / degrees.rs: count, then count of counts (README.md:12-18)."""
+    return (
+        _c(spark, sf_dir, "orders")
+        .map(F.col("o_custkey"))
+        .count(["o_custkey"], alias="n_orders")
+        .map(F.col("n_orders"))
+        .count(["n_orders"], alias="n_custs")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_map_filter",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(round(l_extendedprice * (1 + l_tax) * 100) AS BIGINT) AS gross_cents
+       FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45""",
+)
+def dd_map_filter(spark, sf_dir):
+    """map + filter (src/collection.rs:77-168); pushdown-friendly projections."""
+    return (
+        _c(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_quantity") > 45))
+        .map(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            gross_cents=F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")) * 100).cast(
+                "long"
+            ),
+        )
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_set_difference",
+    """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def dd_set_difference(spark, sf_dir):
+    """concat + negate (src/collection.rs:196-235,627-631): multiset
+    difference of two distinct key sets; positive part."""
+    orders = _c(spark, sf_dir, "orders")
+    open_k = orders.filter(F.col("o_orderstatus") == "O").map(F.col("o_custkey")).distinct()
+    done_k = orders.filter(F.col("o_orderstatus") == "F").map(F.col("o_custkey")).distinct()
+    diffed = open_k.concat(done_k.negate()).consolidate()
+    return diffed.df.filter(F.col(DIFF) > 0).select("o_custkey")
+
+
+@query(
+    "dd_explode_sum",
+    """SELECT l_returnflag,
+              CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS rev_cents
+       FROM lineitem WHERE l_discount >= 0.05 GROUP BY l_returnflag""",
+)
+def dd_explode_sum(spark, sf_dir):
+    """explode (src/collection.rs:261-271): move the measure into the weight,
+    then count() is SUM — the reference's aggregate idiom."""
+    return (
+        _c(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= 0.05)
+        .explode_weights(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100),
+            F.col("l_returnflag"),
+        )
+        .count(["l_returnflag"], alias="rev_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_semijoin",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem WHERE l_orderkey IN
+         (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       GROUP BY l_returnflag""",
+)
+def dd_semijoin(spark, sf_dir):
+    """semijoin (src/operators/join.rs:119-120): keep records whose key
+    appears in the other (distinct) collection."""
+    li = _c(spark, sf_dir, "lineitem")
+    urgent = (
+        _c(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .map(l_orderkey=F.col("o_orderkey"))
+        .distinct()
+    )
+    return (
+        li.semijoin(urgent, on=["l_orderkey"])
+        .map(F.col("l_returnflag"))
+        .count(["l_returnflag"], alias="n_items")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_antijoin",
+    """SELECT c_custkey FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+)
+def dd_antijoin(spark, sf_dir):
+    """antijoin (src/operators/join.rs:152-153): self − semijoin(other)."""
+    cust = _c(spark, sf_dir, "customer").map(F.col("c_custkey"))
+    urgent = (
+        _c(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .map(c_custkey=F.col("o_custkey"))
+        .distinct()
+    )
+    return cust.antijoin(urgent, on=["c_custkey"]).consolidate_final().drop(DIFF)
+
+
+@query(
+    "dd_join_weighted",
+    """SELECT c_mktsegment,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def dd_join_weighted(spark, sf_dir):
+    """join (src/operators/join.rs:55-64) with diffs multiplied, then the
+    explode+count SUM idiom; dimension side broadcast."""
+    orders = _c(spark, sf_dir, "orders").map(
+        c_custkey=F.col("o_custkey"), price=F.col("o_totalprice")
+    )
+    cust = _c(spark, sf_dir, "customer").map(F.col("c_custkey"), F.col("c_mktsegment"))
+    return (
+        orders.join(cust, on=["c_custkey"], broadcast_other=True)
+        .explode_weights(F.round(F.col("price") * 100), F.col("c_mktsegment"))
+        .count(["c_mktsegment"], alias="total_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_distinct",
+    "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+)
+def dd_distinct(spark, sf_dir):
+    """distinct (src/operators/reduce.rs:104-189): multiplicity -> 1."""
+    return (
+        _c(spark, sf_dir, "orders")
+        .map(F.col("o_custkey"), F.col("o_orderstatus"))
+        .distinct()
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "dd_threshold",
+    """SELECT o_custkey FROM orders GROUP BY o_custkey
+       HAVING count(*) >= 5""",
+)
+def dd_threshold(spark, sf_dir):
+    """threshold (src/operators/threshold.rs): weight -> f(weight)."""
+    coll = (
+        _c(spark, sf_dir, "orders")
+        .map(F.col("o_custkey"))
+        .threshold(["o_custkey"], lambda cum: F.when(cum >= 5, 1).otherwise(0))
+    )
+    return coll.consolidate_final().drop(DIFF)
+
+
+@query(
+    "dd_reduce_min",
+    """SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY o_custkey""",
+)
+def dd_reduce_min(spark, sf_dir):
+    """reduce with min logic (src/operators/reduce.rs:55-60 example) —
+    single-epoch Catalyst fast path."""
+    from differential_dataflow_spark.operators.reduce import reduce_extremum
+
+    coll = _c(spark, sf_dir, "orders").map(
+        F.col("o_custkey"), first_order=F.col("o_orderdate")
+    )
+    out = reduce_extremum(coll, ["o_custkey"], "first_order", minimum=True, single_epoch=True)
+    return out.consolidate_final().drop(DIFF)
+
+
+@query(
+    "dd_top_k",
+    """SELECT o_custkey, o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+       FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+       ) WHERE rn <= 2""",
+)
+def dd_top_k(spark, sf_dir):
+    """top-k reduce (src/operators/reduce.rs:55-60: first k of sorted input)."""
+    coll = _c(spark, sf_dir, "orders").map(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        price_cents=F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    out = coll.top_k(
+        ["o_custkey"], [F.col("price_cents").desc(), F.col("o_orderkey").asc()], k=2
+    )
+    return out.consolidate_final().drop(DIFF)
+
+
+@query(
+    "dd_count_incremental",
+    """WITH per AS (
+         SELECT user_id, CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS epoch,
+                count(*) AS delta
+         FROM events GROUP BY 1, 2
+       ), cum AS (
+         SELECT user_id, epoch,
+                CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY epoch) AS BIGINT) AS n
+         FROM per
+       ), lagged AS (
+         SELECT user_id, epoch, n,
+                lag(n) OVER (PARTITION BY user_id ORDER BY epoch) AS p
+         FROM cum
+       )
+       SELECT user_id, n, epoch, CAST(1 AS BIGINT) AS diff FROM lagged
+       UNION ALL
+       SELECT user_id, p AS n, epoch, CAST(-1 AS BIGINT) AS diff FROM lagged
+       WHERE p IS NOT NULL""",
+)
+def dd_count_incremental(spark, sf_dir):
+    """count_total incremental semantics (src/operators/count.rs:81-123): the
+    full multi-epoch update stream with retraction pairs, epochs = days."""
+    ev = _t(spark, sf_dir, "events")
+    coll = DiffCollection.from_df(
+        ev.select("user_id", "ts"),
+        epoch=F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast("long"),
+    ).map(F.col("user_id"))
+    out = coll.count(["user_id"], alias="n")
+    return out.consolidate().df
+
+
+@query(
+    "dd_iterate_reachability",
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       ), reach(node) AS (
+         SELECT DISTINCT CAST(user_id AS BIGINT) FROM events WHERE user_id < 3
+         UNION
+         SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node
+       )
+       SELECT node FROM reach""",
+)
+def dd_iterate_reachability(spark, sf_dir):
+    """iterate to fixed point (src/operators/iterate.rs:49-127; README.md:22-31
+    reachability): semi-naive frontier expansion over a derived edge graph."""
+    ev = _t(spark, sf_dir, "events")
+    edges = DiffCollection.from_df(
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+        )
+    ).distinct()
+    roots = DiffCollection.from_df(
+        ev.filter(F.col("user_id") < 3).select(F.col("user_id").cast("long").alias("node"))
+    ).distinct()
+    reached = semi_naive(
+        roots,
+        lambda frontier: frontier.map(src=F.col("node"))
+        .join(edges.map(F.col("src"), node=F.col("dst")), on=["src"])
+        .map(F.col("node")),
+    )
+    return reached.consolidate_final().drop(DIFF)
+
+
+@query(
+    "dd_upsert_latest",
+    """SELECT user_id, last_value FROM (
+         SELECT user_id, value AS last_value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ) WHERE rn = 1""",
+)
+def dd_upsert_latest(spark, sf_dir):
+    """upsert arrangement (src/operators/arrange/upsert.rs): last writer wins
+    with deterministic (ts, event_id) ordering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_value")
+    )
+    coll = upsert_latest(
+        ev, keys=["user_id"], value_cols=["last_value"], order_by=["ts", "event_id"]
+    )
+    return coll.df.select("user_id", "last_value")
+
+
+@query(
+    "dd_upsert_stream",
+    """WITH per AS (
+         SELECT user_id, epoch, last_value FROM (
+           SELECT user_id,
+                  CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS epoch,
+                  value AS last_value,
+                  row_number() OVER (
+                    PARTITION BY user_id, datediff('day', DATE '2024-01-01', ts)
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         ) WHERE rn = 1
+       ), lagged AS (
+         SELECT user_id, epoch, last_value,
+                lag(last_value) OVER (PARTITION BY user_id ORDER BY epoch) AS prev
+         FROM per
+       ), changed AS (
+         SELECT * FROM lagged WHERE prev IS NULL OR prev <> last_value
+       )
+       SELECT user_id, last_value, epoch, CAST(1 AS BIGINT) AS diff FROM changed
+       UNION ALL
+       SELECT user_id, prev AS last_value, epoch, CAST(-1 AS BIGINT) AS diff
+       FROM changed WHERE prev IS NOT NULL""",
+)
+def dd_upsert_stream(spark, sf_dir):
+    """upsert update stream: per-epoch retraction pairs synthesized from
+    last-writer-wins state changes (src/operators/arrange/upsert.rs:1-33)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("last_value"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+    )
+    out = upsert_update_stream(
+        ev,
+        keys=["user_id"],
+        value_cols=["last_value"],
+        epoch_col="day",
+        order_by=["ts", "event_id"],
+    )
+    return out.consolidate().df
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H-like queries (reference tpchlike/src/queries/*, adapted to the
+# available reduced schema — the reference itself is "TPC-H-like").
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS sum_disc_cents,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                AS sum_charge_cents,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    """Q1 pricing summary (tpchlike/src/queries/query01.rs): the reference
+    packs 5 sums + a count into one tuple diff; here each sum is an
+    explode+count pass over one shared scan, unioned — same multi-aggregate
+    update-stream semantics. Implemented as a single grouped aggregation of
+    weighted updates (the consolidated equivalent)."""
+    li = _c(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    base = li.df
+    ext = F.col("l_extendedprice")
+    out = (
+        base.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long") * F.col(DIFF)).alias("sum_qty"),
+            F.sum(F.round(ext * 100).cast("long") * F.col(DIFF)).alias("sum_base_cents"),
+            F.sum(
+                F.round(ext * (1 - F.col("l_discount")) * 100).cast("long") * F.col(DIFF)
+            ).alias("sum_disc_cents"),
+            F.sum(
+                F.round(ext * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100).cast(
+                    "long"
+                )
+                * F.col(DIFF)
+            ).alias("sum_charge_cents"),
+            F.sum(F.col(DIFF)).alias("count_order"),
+        )
+    )
+    return out
+
+
+@query(
+    "tpch_q3",
+    """SELECT o_orderkey, o_orderdate,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15'
+         AND l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY o_orderkey, o_orderdate""",
+)
+def tpch_q3(spark, sf_dir):
+    """Q3 shipping priority (tpchlike/src/queries/query03.rs): two joins +
+    grouped revenue, dimension side broadcast."""
+    cust = (
+        _c(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .map(F.col("c_custkey"))
+    )
+    orders = (
+        _c(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .map(c_custkey=F.col("o_custkey"), o_orderkey=F.col("o_orderkey"), o_orderdate=F.col("o_orderdate"))
+    )
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .map(
+            o_orderkey=F.col("l_orderkey"),
+            rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+        )
+    )
+    joined = orders.join(cust.map(c_custkey=F.col("c_custkey")), on=["c_custkey"], broadcast_other=True)
+    full = li.join(joined.map(F.col("o_orderkey"), F.col("o_orderdate")), on=["o_orderkey"])
+    return (
+        full.explode_weights(F.col("rev"), F.col("o_orderkey"), F.col("o_orderdate"))
+        .count(["o_orderkey", "o_orderdate"], alias="revenue_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q6",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""",
+)
+def tpch_q6(spark, sf_dir):
+    """Q6 forecasting revenue (tpchlike/src/queries/query06.rs): filter +
+    explode + count — the reference's fastest query; ours is one codegen'd
+    scan+agg."""
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .explode_weights(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100),
+            group=F.lit(1),
+        )
+        .count(["group"], alias="revenue_cents")
+    )
+    return li.consolidate_final().select("revenue_cents")
