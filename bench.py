@@ -1,0 +1,160 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "flagship_turns_per_sec_local32", "value": N, "unit": "updates/sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "flagship": {...},
+   "scaling": {...}, "calibration": {...}}
+
+Components:
+
+- ``queries``: per-query wall seconds for every registered query at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+- ``flagship``: the incremental join+group+iterate transcript pipeline
+  (turns/sec) at local[$SPARK_GRAFT_CPUS], best of 2 after a warmup run
+  (this sandbox VM shows 5-10x intermittent host-noise spikes; min-of-N
+  isolates engine cost from host stealing).
+- ``scaling``: the identical flagship job at local[8] vs local[32] on
+  identical input — the sandbox evidence for the two-cluster-size criterion.
+  efficiency = throughput_4N / (4 * throughput_N).
+- ``calibration``: a pure-compute 20B-row hash-agg job at both parallelism
+  levels. On this VM 32 vCPUs deliver ~2.7x the throughput of 8 (SMT /
+  oversubscription), so the *hardware* ceiling for 8->32 efficiency is ~0.68;
+  ``scaling.efficiency_vs_hardware`` normalizes the engine's efficiency by
+  this ceiling (1.0 = engine scales exactly as well as raw JVM compute).
+
+Usage:
+  python bench.py                  # full: queries + flagship + scaling
+  python bench.py --no-scaling     # skip the scaling pair
+  python bench.py --inner CORES N_CONVS   # (internal) one flagship config
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "500000"))
+SCALING_PAIR = (8, 32)
+
+
+def _calibrate(spark, cores: int) -> float:
+    """Pure-compute throughput (rows/sec) — the hardware's scaling ceiling."""
+    from pyspark.sql import functions as F
+
+    n = 4_000_000_000
+    df = spark.range(0, n, 1, cores * 4)
+    expr = F.sum(F.xxhash64("id") % 1000)
+    spark.range(0, 1_000_000, 1, cores).select(expr).collect()  # warm codegen
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.select(expr).collect()
+        best = min(best, time.time() - t0)
+    return n / best
+
+
+def run_inner(cores: int, n_convs: int) -> None:
+    from differential_dataflow_spark.flagship import flagship_pipeline
+    from differential_dataflow_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"flagship-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    calib = _calibrate(spark, cores)
+    # Warm the JVM/codegen (the fixpoint loop compiles ~10 distinct plans).
+    flagship_pipeline(spark, n_convs=max(n_convs // 10, 1000))
+    best = None
+    for _ in range(2):
+        stats = flagship_pipeline(spark, n_convs=n_convs)
+        if best is None or stats["wall_sec"] < best["wall_sec"]:
+            best = stats
+    best["calibration_rows_per_sec"] = round(calib)
+    print("INNER_JSON:" + json.dumps(best))
+    spark.stop()
+
+
+def flagship_subprocess(cores: int, n_convs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--inner", str(cores), str(n_convs)],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        check=False,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("INNER_JSON:"):
+            return json.loads(line[len("INNER_JSON:"):])
+    raise RuntimeError(
+        f"inner bench failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--inner" in sys.argv:
+        i = sys.argv.index("--inner")
+        run_inner(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+
+    do_scaling = "--no-scaling" not in sys.argv
+
+    from differential_dataflow_spark.queries import QUERIES
+    from differential_dataflow_spark.session import get_spark, release_all_cached
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    query_secs: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        query_secs[name] = round(time.time() - t0, 3)
+        release_all_cached(spark)
+    spark.stop()
+
+    result: dict = {
+        "metric": "flagship_turns_per_sec_local32",
+        "value": 0.0,
+        "unit": "updates/sec",
+        "queries": query_secs,
+        "queries_total_sec": round(sum(query_secs.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if do_scaling:
+        n, n4 = SCALING_PAIR
+        s_n = flagship_subprocess(n, BENCH_CONVS)
+        s_4n = flagship_subprocess(n4, BENCH_CONVS)
+        eff = s_4n["turns_per_sec"] / (4 * s_n["turns_per_sec"])
+        hw_eff = s_4n["calibration_rows_per_sec"] / (
+            4 * s_n["calibration_rows_per_sec"]
+        )
+        result["value"] = s_4n["turns_per_sec"]
+        result["flagship"] = s_4n
+        result["scaling"] = {
+            f"local{n}_turns_per_sec": s_n["turns_per_sec"],
+            f"local{n4}_turns_per_sec": s_4n["turns_per_sec"],
+            f"local{n}_wall_sec": s_n["wall_sec"],
+            f"local{n4}_wall_sec": s_4n["wall_sec"],
+            "n_turns": s_4n["n_turns"],
+            "efficiency": round(eff, 3),
+            "hardware_ceiling_efficiency": round(hw_eff, 3),
+            "efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
+        }
+        result["calibration"] = {
+            f"local{n}_rows_per_sec": s_n["calibration_rows_per_sec"],
+            f"local{n4}_rows_per_sec": s_4n["calibration_rows_per_sec"],
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

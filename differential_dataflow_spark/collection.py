@@ -347,23 +347,39 @@ class DiffCollection:
             .filter(F.col("__delta") != 0)
         )
         w = Window.partitionBy(*keys).orderBy(EPOCH)
-        with_cum = per_epoch.withColumn("__cum", F.sum("__delta").over(w))
-        value = value_of_cum
-        prev = F.lag("__cum").over(w)
-        additions = with_cum.filter(F.col("__cum") != 0).select(
-            *keys, value.alias(alias), F.col(EPOCH), F.lit(1).cast("long").alias(DIFF)
+        with_cum = per_epoch.withColumn("__cum", F.sum("__delta").over(w)).withColumn(
+            "__prev", F.lag("__cum").over(w)
         )
-        retractions = (
-            with_cum.withColumn("__prev", prev)
-            .filter(F.col("__prev").isNotNull() & (F.col("__prev") != 0))
-            .select(
-                *keys,
-                F.col("__prev").alias(alias),
-                F.col(EPOCH),
-                F.lit(-1).cast("long").alias(DIFF),
-            )
+        # Single pass: one sort-window computes both the new and the retracted
+        # value; emit 0-2 rows per change point via explode (a union of two
+        # projections would execute the whole window pipeline twice).
+        value = value_of_cum.cast("long")
+        pair = F.array(
+            F.when(
+                F.col("__cum") != 0,
+                F.struct(value.alias(alias), F.lit(1).cast("long").alias(DIFF)),
+            ),
+            F.when(
+                F.col("__prev").isNotNull() & (F.col("__prev") != 0),
+                F.struct(
+                    self._value_of(F.col("__prev"), value_of_cum).alias(alias),
+                    F.lit(-1).cast("long").alias(DIFF),
+                ),
+            ),
         )
-        return DiffCollection(additions.unionByName(retractions))
+        out = (
+            with_cum.select(*keys, F.col(EPOCH), F.explode(pair).alias("__e"))
+            .filter(F.col("__e").isNotNull())
+            .select(*keys, F.col(f"__e.{alias}"), F.col(EPOCH), F.col(f"__e.{DIFF}"))
+        )
+        return DiffCollection(out)
+
+    @staticmethod
+    def _value_of(cum_col: Column, template: Column) -> Column:
+        """Rebase the value expression onto the previous cumulation. The
+        count-style value IS the cumulation, so this is the identity on the
+        lagged column."""
+        return cum_col.cast("long")
 
     # ------------------------------------------------------------------ #
     # General reduce (reference src/operators/reduce.rs:29-101) — the one

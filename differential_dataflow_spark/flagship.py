@@ -1,0 +1,131 @@
+"""Flagship pipeline: incremental join + group + iterate over transcripts.
+
+This is the north-star workload (BASELINE.json): a synthetic multi-turn
+conversation stream run through the engine's three core incremental shapes —
+
+- **group**: per-conversation turn-count update stream with retraction pairs
+  (the reference's hello.rs/degrees.rs transposed, README.md:34-46);
+- **join**: user turns joined to the immediately following assistant/tool
+  response on (conv_id, turn_idx) with weight multiplication
+  (src/operators/join.rs:55-64);
+- **iterate**: reachability to fixed point over a derived conversation
+  reference graph (README.md:22-31), semi-naive over a 2-out hash expander
+  (O(log n) diameter, so driver rounds stay bounded).
+
+The input is generated once and locally checkpointed — each stage reads the
+materialized batch, as a streaming micro-batch would. Returned counts force
+full materialization so wall-clock measures real work. Throughput metric =
+turns/sec over the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark.collection import DiffCollection
+from differential_dataflow_spark.operators.iterate import semi_naive
+from differential_dataflow_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_with_epochs,
+)
+
+
+def flagship_pipeline(
+    spark: SparkSession,
+    n_convs: int = 50_000,
+    avg_turns: int = 10,
+    epoch_seconds: int = 600,
+) -> dict:
+    t_start = time.time()
+    stages: dict[str, float] = {}
+
+    t0 = time.time()
+    transcripts = generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    updates = transcripts_with_epochs(transcripts, epoch_seconds=epoch_seconds).localCheckpoint(
+        eager=True
+    )
+    n_turns = updates.count()
+    stages["generate"] = round(time.time() - t0, 3)
+
+    coll = DiffCollection(updates)
+
+    # Group: per-conversation incremental turn counts (retraction pairs per
+    # epoch where the conversation grew).
+    t0 = time.time()
+    counts = coll.map(F.col("conv_id")).count(["conv_id"], alias="n_turns")
+    n_count_updates = counts.consolidate().df.count()
+    stages["group"] = round(time.time() - t0, 3)
+
+    # Join: each user turn to its following response within the conversation.
+    t0 = time.time()
+    users = coll.filter(F.col("role") == "user").map(
+        F.col("conv_id"), F.col("turn_idx"), utext=F.col("text")
+    )
+    responses = coll.filter(F.col("role") != "user").map(
+        F.col("conv_id"),
+        turn_idx=F.col("turn_idx") - 1,
+        rtext=F.col("text"),
+    )
+    paired = users.join(responses, on=["conv_id", "turn_idx"])
+    n_join_updates = paired.consolidate().df.count()
+    stages["join"] = round(time.time() - t0, 3)
+
+    # Iterate: conversation reference graph — each conv points at 4
+    # hash-derived convs (random 4-out digraph: giant out-component, ~log_4
+    # diameter keeps driver-side fixpoint rounds bounded). Conversation-level
+    # (not turn-level): fixpoint rounds are inherently sequential, so the
+    # round count, not per-round volume, is what must stay small.
+    t0 = time.time()
+    convs = updates.select("conv_id").distinct()
+    conv_no = F.abs(F.xxhash64("conv_id")) % n_convs
+    # Materialize the deduplicated edge set once — a lazy distinct would
+    # re-execute its shuffle inside every fixpoint round.
+    edges_df = (
+        convs.select(
+            conv_no.alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.abs(F.xxhash64("conv_id", F.lit(i))) % n_convs
+                        for i in range(1, 5)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = DiffCollection.from_df(edges_df)
+    roots = DiffCollection.from_df(
+        convs.select(conv_no.alias("node")).filter(
+            F.col("node") < max(n_convs // 100, 2)
+        )
+    ).distinct()
+    reached = semi_naive(
+        roots,
+        lambda frontier: frontier.map(src=F.col("node"))
+        .join(edges.map(F.col("src"), node=F.col("dst")), on=["src"])
+        .map(F.col("node")),
+        max_iters=200,
+    )
+    n_reached = reached.df.count()
+    stages["iterate"] = round(time.time() - t0, 3)
+
+    # Release every block this run pinned — localCheckpoint blocks are not
+    # freed by DataFrame.unpersist and leaked blocks degrade later jobs.
+    from differential_dataflow_spark.session import release_all_cached
+
+    release_all_cached(spark)
+    wall = time.time() - t_start
+    return {
+        "n_turns": n_turns,
+        "count_updates": n_count_updates,
+        "join_updates": n_join_updates,
+        "reached_nodes": n_reached,
+        "stages": stages,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }

@@ -10,22 +10,32 @@ lineage with a local checkpoint, and tests whether the consolidated multiset
 changed — ``new ⊎ (−old)`` consolidating to empty is exactly the reference's
 "updates dissipate" condition.
 
-Two engines:
+Loop discipline (matters at scale): every round's result is locally
+checkpointed (truncating both lineage and analysis cost to O(1) per round)
+and the previous round's checkpoint is **unpersisted** — without this the
+block manager accumulates one cached RDD per round and round latency degrades
+super-linearly (observed: 0.5s/round → 110s/round by round 21).
 
-- ``iterate`` — the general fixpoint for arbitrary (non-monotone) logic.
-  Cost per round: one shuffle for consolidate + one for the equality check.
+Engines:
+
+- ``iterate`` — general fixpoint for arbitrary (non-monotone) logic over full
+  update collections.
 - ``semi_naive`` — the scalable path for monotone, distinct-valued logic
-  (reachability, BFS-style label propagation: README.md:22-31,
-  src/algorithms/graphs/bfs.rs). Only the *frontier* (newly derived facts) is
-  expanded each round — the differential behavior of the reference's iterate,
-  where only changed updates flow — so total work is O(Σ|new facts|), not
-  O(rounds × |total|).
+  (reachability / transitive closure: README.md:22-31). Only the *frontier*
+  (newly derived facts) is expanded each round — the differential behavior of
+  the reference's iterate, where only changed updates flow — so total work is
+  O(Σ|new facts|). Internally plain column-pruned DataFrames + ``left_anti``
+  dedup (weight bookkeeping is unnecessary for distinct sets).
+- ``iterate_keyed_min`` — BFS/label-propagation shape
+  (src/algorithms/graphs/bfs.rs:36-49): per-key minimum refined per round,
+  expanding only improved keys.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
@@ -37,8 +47,8 @@ class FixpointNotReached(RuntimeError):
     pass
 
 
-def _is_empty(coll: DiffCollection) -> bool:
-    return coll.consolidate().df.isEmpty()
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
 
 
 def iterate(
@@ -47,23 +57,29 @@ def iterate(
     max_iters: int = 100,
     strict: bool = True,
 ) -> DiffCollection:
-    """Apply ``logic`` until the consolidated collection stops changing.
+    """Apply ``logic`` until the consolidated update multiset stops changing.
 
-    Matches reference semantics where the fixed point exists and is reached in
-    finitely many rounds (src/operators/iterate.rs:49-56); ``max_iters`` is
-    the safety bound (``strict=True`` raises if it is hit, else returns the
-    last iterate).
+    General (non-monotone) fixpoint; each round costs two shuffles
+    (consolidate + change test). ``strict=True`` raises if ``max_iters`` is
+    hit without convergence.
     """
-    current = initial.consolidate().local_checkpoint()
+    current = _ckpt(initial.consolidate().df)
     for _ in range(max_iters):
-        nxt = logic(current).consolidate().local_checkpoint()
-        changed = not _is_empty(nxt.concat(current.negate()))
-        if not changed:
-            return nxt
+        nxt = _ckpt(logic(DiffCollection(current)).consolidate().df)
+        delta = (
+            DiffCollection(nxt)
+            .concat(DiffCollection(current).negate())
+            .consolidate()
+            .df
+        )
+        if delta.isEmpty():
+            current.unpersist()
+            return DiffCollection(nxt)
+        current.unpersist()
         current = nxt
     if strict:
         raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
-    return current
+    return DiffCollection(current)
 
 
 def semi_naive(
@@ -71,24 +87,39 @@ def semi_naive(
     expand: Logic,
     max_iters: int = 10_000,
 ) -> DiffCollection:
-    """Monotone fixpoint: total = roots ∪ expand(total) ∪ expand²(...) as a
+    """Monotone fixpoint: total = roots ∪ expand(roots) ∪ expand²(...) as a
     *distinct* collection, computed by expanding only the per-round frontier.
 
-    ``expand`` maps a frontier collection to candidate new facts (any
-    weights); candidates already in the total are discarded via weighted
-    antijoin on the full payload. This is the reference's
-    ``iterate(|inner| ... .concat(&roots).distinct())`` pattern
-    (README.md:24-31) with the distinct pushed into the loop discipline.
+    ``expand`` maps a frontier collection (weights 1, epoch 0) to candidate
+    new facts with the same payload columns; candidates already known are
+    discarded with a ``left_anti`` join against the accumulated total. The
+    result collapses epochs: it is the fixpoint of the final accumulated
+    input (per-epoch incremental iteration is the streaming engine's job).
     """
     key = roots.payload_columns
-    total = roots.distinct().local_checkpoint()
-    frontier = total
+    first = _ckpt(roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key))
+    # The total is kept as a list of per-round checkpointed frontier parts;
+    # the anti-join reads their lazy union. This costs one materialization
+    # per round (the new frontier) instead of two (frontier + rebuilt total).
+    parts: list[DataFrame] = [first]
+    frontier = first
     for _ in range(max_iters):
-        candidates = expand(frontier).distinct(key)
-        new = candidates.antijoin(total, on=key).consolidate().local_checkpoint()
-        if new.df.isEmpty():
-            return total
-        total = total.concat(new).local_checkpoint()
+        frontier_coll = DiffCollection.from_df(frontier)
+        cand = expand(frontier_coll).df.select(*key).distinct()
+        total = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+        for p in parts[2:]:
+            total = total.unionAll(p)
+        new = _ckpt(cand.join(total, key, "left_anti"))
+        if new.isEmpty():
+            # Materialize the result as one fresh checkpoint, then release
+            # every per-round block — leaked checkpoint blocks degrade the
+            # whole session (observed 3x slowdowns on later jobs).
+            result = _ckpt(total)
+            for p in parts:
+                p.unpersist()
+            new.unpersist()
+            return DiffCollection.from_df(result)
+        parts.append(new)
         frontier = new
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
 
@@ -100,49 +131,43 @@ def iterate_keyed_min(
     value: str,
     max_iters: int = 10_000,
 ) -> DiffCollection:
-    """Fixpoint of "keep the per-key minimum" — the BFS distance-labeling
-    shape (src/algorithms/graphs/bfs.rs:36-49: ``inner.join(edges).concat(
-    nodes).reduce(min)``), run delta-style: each round expands only keys whose
+    """Fixpoint of "keep the per-key minimum" — BFS distance labeling
+    (src/algorithms/graphs/bfs.rs:36-49: ``inner.join(edges).concat(nodes)
+    .reduce(min)``), run delta-style: each round expands only keys whose
     minimum improved.
 
-    ``expand`` maps the frontier (keys + their current best value) to
-    candidate (key, value) facts. A candidate survives iff it beats the
-    current best for its key.
+    ``expand`` maps the frontier (keys + current best value) to candidate
+    (key, value) facts; a candidate survives iff it beats the current best.
     """
-    best = (
-        initial.df.groupBy(*keys)
-        .agg(F.min(value).alias(value), F.min(EPOCH).alias(EPOCH))
-        .withColumn(DIFF, F.lit(1).cast("long"))
+    keys = list(keys)
+    best = _ckpt(
+        initial.df.groupBy(*keys).agg(F.min(value).alias(value))
     )
-    best = DiffCollection(best).local_checkpoint()
     frontier = best
     for _ in range(max_iters):
-        cand = expand(frontier)
-        cand_best = cand.df.groupBy(*keys).agg(
-            F.min(value).alias("__cand"), F.min(EPOCH).alias(EPOCH)
+        frontier_coll = DiffCollection.from_df(frontier)
+        cand = (
+            expand(frontier_coll)
+            .df.groupBy(*keys)
+            .agg(F.min(value).alias("__cand"))
         )
-        cur = best.df.select(
-            *keys, F.col(value).alias("__cur")
-        )
-        improved = (
-            cand_best.join(cur, list(keys), "left")
+        cur = best.select(*keys, F.col(value).alias("__cur"))
+        improved = _ckpt(
+            cand.join(cur, keys, "left")
             .filter(F.col("__cur").isNull() | (F.col("__cand") < F.col("__cur")))
-            .select(
-                *keys,
-                F.col("__cand").alias(value),
-                EPOCH,
-                F.lit(1).cast("long").alias(DIFF),
-            )
+            .select(*keys, F.col("__cand").alias(value))
         )
-        improved = DiffCollection(improved).local_checkpoint()
-        if improved.df.isEmpty():
-            return best
-        # New best = improved keys' new values + untouched keys' old values.
-        keep = DiffCollection(
-            best.df.join(
-                improved.df.select(*keys), list(keys), "left_anti"
-            )
+        if improved.isEmpty():
+            improved.unpersist()
+            if frontier is not best:
+                frontier.unpersist()
+            return DiffCollection.from_df(best)
+        prev_best, prev_frontier = best, frontier
+        best = _ckpt(
+            prev_best.join(improved.select(*keys), keys, "left_anti").union(improved)
         )
-        best = keep.concat(improved).local_checkpoint()
+        prev_best.unpersist()
+        if prev_frontier is not prev_best:
+            prev_frontier.unpersist()
         frontier = improved
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")

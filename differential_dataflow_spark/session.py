@@ -46,11 +46,35 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local-mode shuffles go through spark.local.dir; on a disk-backed /tmp
+    # the shuffle becomes I/O-bound and stops scaling with cores. Use tmpfs
+    # when available (a real cluster would have NVMe-local shuffle dirs).
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_all_cached(spark: SparkSession, gc: bool = False) -> int:
+    """Blocking-unpersist every persisted RDD in the context.
+
+    ``DataFrame.unpersist()`` does NOT free ``localCheckpoint`` blocks (they
+    are RDD-level persists outside the cache manager, and derived DataFrames
+    are no-ops entirely), so long sessions leak blocks per fixpoint round and
+    later jobs degrade. Call between logical jobs / bench runs.
+    """
+    jsc = spark.sparkContext._jsc.sc()
+    prdds = jsc.getPersistentRDDs()
+    n = prdds.size()
+    it = prdds.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+    if gc:
+        spark.sparkContext._jvm.System.gc()
+    return n
 
 
 def stop_spark() -> None:
