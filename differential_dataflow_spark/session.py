@@ -31,6 +31,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Executor Python workers resolve imports via PYTHONPATH, not the
+    # driver's sys.path — make the package importable from any cwd (the
+    # spark-submit equivalent is --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -1,0 +1,190 @@
+"""Streaming engine tests: per-epoch retraction kernels against batch-oracle
+recomputation, exactly-once sink replay, checkpoint restart (FIXTURES.md §7).
+
+Each epoch = one file = one micro-batch (EpochFeeder); the consolidated
+output multiset across batches must equal the incremental-count semantics of
+the batch engine on the same updates — the reference's differential testing
+method (tests/bfs.rs:24-120: incremental output vs sequential recompute)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark import DiffCollection
+from differential_dataflow_spark.streaming.kernels import (
+    stateful_count,
+    stateful_distinct,
+    stateful_reduce,
+    stateful_upsert,
+)
+from differential_dataflow_spark.streaming.sink import ExactlyOnceSink
+from differential_dataflow_spark.streaming.source import EpochFeeder, run_to_completion
+
+
+def _run_stream(spark, tmp_path, build_output, epochs, schema, name):
+    """Feed epochs through a kernel; return list of (payload..., epoch=batch)."""
+    feeder = EpochFeeder(spark, str(tmp_path / "in"), schema)
+    for epoch in epochs:
+        for upd in epoch:
+            feeder.update(upd[:-1], upd[-1])
+        feeder.advance_epoch()
+    out = build_output(feeder.stream())
+    sink = ExactlyOnceSink(str(tmp_path / "out"), name)
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    run_to_completion(q)
+    rows = sink.read_all(spark).collect()
+    return rows, sink
+
+
+def test_stateful_count_matches_batch_engine(spark, tmp_path):
+    epochs = [
+        [(1, 1), (1, 1), (2, 1)],   # epoch 0: k1+2, k2+1
+        [(1, 1)],                   # epoch 1: k1 -> 3
+        [(1, -3), (2, 1)],          # epoch 2: k1 emptied, k2 -> 2
+    ]
+    rows, _ = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stateful_count(s, ["k"], "k long", alias="n"),
+        epochs,
+        "k long",
+        "count",
+    )
+    got = sorted((r.k, r.n, r.diff) for r in rows)
+
+    # Batch oracle: same updates through the batch engine's count().
+    updates = [
+        (k, e, d) for e, batch in enumerate(epochs) for (k, d) in batch
+    ]
+    oracle = (
+        DiffCollection.from_updates(spark, updates, "k long")
+        .count(["k"], alias="n")
+        .updates()
+    )
+    want = sorted((k, n, d) for (k, n, e, d) in oracle)
+    assert got == want
+    assert (1, 3, -1) in got and (2, 2, 1) in got
+
+
+def test_stateful_distinct(spark, tmp_path):
+    epochs = [[(7, 2)], [(7, -2)], [(7, 5)]]
+    rows, _ = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stateful_distinct(s, ["k"], "k long"),
+        epochs,
+        "k long",
+        "distinct",
+    )
+    got = sorted((r.k, r.diff) for r in rows)
+    assert got == [(7, -1), (7, 1), (7, 1)]  # appear, vanish, reappear
+
+
+def test_stateful_reduce_min(spark, tmp_path):
+    epochs = [
+        [(1, 5, 1), (1, 9, 1)],
+        [(1, 3, 1)],
+        [(1, 3, -1)],
+    ]
+    rows, _ = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stateful_reduce(
+            s, ["k"], "k long", "v", lambda vals: [(vals[0][0], 1)], "min_v"
+        ),
+        epochs,
+        "k long, v long",
+        "reduce",
+    )
+    got = sorted((r.k, r.min_v, r.diff) for r in rows)
+    # epoch0: min 5; epoch1: retract 5, assert 3; epoch2: retract 3, back to 5
+    assert got == sorted(
+        [(1, 5, 1), (1, 5, -1), (1, 3, 1), (1, 3, -1), (1, 5, 1)]
+    )
+
+
+def test_stateful_upsert(spark, tmp_path):
+    # set, overwrite, repeat-same (no change), delete
+    epochs = [
+        [(1, 10.0, 1)],
+        [(1, 20.0, 1)],
+        [(1, 20.0, 1)],
+        [(1, None, 1)],
+    ]
+    rows, _ = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stateful_upsert(s, ["k"], "k long", "v", "double"),
+        epochs,
+        "k long, v double",
+        "upsert",
+    )
+    got = sorted((r.k, r.v, r.diff) for r in rows)
+    assert got == sorted(
+        [(1, 10.0, 1), (1, 10.0, -1), (1, 20.0, 1), (1, 20.0, -1)]
+    )
+
+
+def test_exactly_once_sink_replay(spark, tmp_path):
+    sink = ExactlyOnceSink(str(tmp_path / "out"), "replay")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replayed batch must be a no-op
+    sink.write_batch(df.withColumn("v", F.col("v") + 10), 1)
+    total = sink.read_all(spark).count()
+    assert total == 10
+    lineage = sink.lineage()
+    assert [e["batch_id"] for e in lineage] == [0, 1]
+    assert all(e["rows"] == 5 for e in lineage)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill after epoch k, resume with the same checkpoint: final consolidated
+    multiset equals the uninterrupted run (FIXTURES.md §7.7)."""
+    feeder = EpochFeeder(spark, str(tmp_path / "in"), "k long")
+    for upd in [(1, 1), (2, 1)]:
+        feeder.update(upd[:1], upd[1])
+    feeder.advance_epoch()
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"), "restart")
+
+    def start_query():
+        out = stateful_count(feeder.stream(), ["k"], "k long", alias="n")
+        return (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()  # "crash" after epoch 0
+
+    # More epochs arrive while the query is down.
+    feeder.update((1,), 1)
+    feeder.advance_epoch()
+    feeder.update((1,), -2)
+    feeder.advance_epoch()
+
+    q = start_query()  # resume from checkpoint
+    run_to_completion(q)
+
+    got = sorted(
+        (r.k, r.n, r.diff) for r in sink.read_all(spark).collect()
+    )
+    updates = [(1, 0, 1), (2, 0, 1), (1, 1, 1), (1, 2, -2)]
+    oracle = (
+        DiffCollection.from_updates(spark, updates, "k long")
+        .count(["k"], alias="n")
+        .updates()
+    )
+    want = sorted((k, n, d) for (k, n, e, d) in oracle)
+    assert got == want
