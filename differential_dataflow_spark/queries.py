@@ -538,3 +538,210 @@ def tpch_q6(spark, sf_dir):
         .count(["group"], alias="revenue_cents")
     )
     return li.consolidate_final().select("revenue_cents")
+
+
+# --------------------------------------------------------------------------- #
+# Training-data pipeline queries: text analysis, dedup, similarity, multimodal
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "text_token_stats",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                AS n_tokens,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+       FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: BPE-ish regex + whitespace (functions/text.py)."""
+    from differential_dataflow_spark.functions.text import add_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_token_stats(docs)
+    from pyspark.sql import functions as FF
+
+    return out.select(
+        "doc_id",
+        FF.col("n_tokens").cast("long").alias("n_tokens"),
+        FF.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                AS n_tokens,
+              round(len(regexp_replace(text, '[^\.,;:!\?''"]', '', 'g'))::double
+                    / greatest(len(text), 1), 6) AS punct_ratio,
+              round(len(regexp_replace(text, '[^0-9]', '', 'g'))::double
+                    / greatest(len(text), 1), 6) AS digit_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring features (functions/text.py); oracle checks the
+    ratio columns, the composite score is covered by unit tests."""
+    from differential_dataflow_spark.functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio"
+    )
+
+
+@query(
+    "text_fingerprint",
+    r"""SELECT doc_id,
+              CAST(list_reduce(
+                list_prepend(7, list_transform(
+                  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                  t -> len(t) * 17 + ascii(substr(t, 1, 1)))),
+                (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (functions/text.py) — pure integer
+    arithmetic reproduced exactly by the SQL oracle."""
+    from differential_dataflow_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query("text_langid")  # heuristic — no SQL oracle; covered by unit tests
+def text_langid(spark, sf_dir):
+    from differential_dataflow_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "predicted_lang")
+
+
+@query(
+    "dedup_exact",
+    r"""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents
+       GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash (functions/dedup.py)."""
+    from differential_dataflow_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    r"""WITH d AS (
+         SELECT doc_id,
+                regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         FROM d
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE round(len(list_intersect(a.sh, b.sh))::double
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs, shingle-blocked
+    (functions/dedup.py) — no cross product on the Spark side."""
+    from differential_dataflow_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh")  # approximate — recall vs exact tested in pytest
+def dedup_minhash_lsh(spark, sf_dir):
+    from differential_dataflow_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_simhash")  # hash-specific — covered by pytest sanity checks
+def dedup_simhash(spark, sf_dir):
+    from differential_dataflow_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "ann_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                  WHERE vec_id < 10)
+       SELECT query_id, vec_id, cos, rank FROM (
+         SELECT q.query_id, e.vec_id,
+                round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+                CAST(row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                           e.vec_id) AS BIGINT) AS rank
+         FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       ) WHERE rank <= 5""",
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors
+    (functions/similarity.py) — the exact ANN baseline."""
+    from pyspark.sql import functions as FF
+
+    from differential_dataflow_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(FF.col("vec_id") < 10).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@query(
+    "embedding_cosine_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+)
+def embedding_cosine_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (functions/similarity.py)."""
+    from differential_dataflow_spark.functions.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("ann_lsh_topk")  # approximate — recall vs brute force tested in pytest
+def ann_lsh_topk(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from differential_dataflow_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(FF.col("vec_id") < 10).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, dim=64, k=5)
+
+
+@query("multimodal_features")  # synthetic media — deterministic, rows-only
+def multimodal_features(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from differential_dataflow_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=200)
+    feats = extract_features(media, decoder="fake")
+    return feats.groupBy("kind").agg(
+        FF.count("*").cast("long").alias("n"),
+        FF.round(FF.avg(FF.element_at("feature", 1)), 6).alias("avg_f0"),
+    )

@@ -1,0 +1,158 @@
+"""Unit tests for the training-data pipeline functions: hand-computed text
+features, planted duplicates, approximate-method recall vs exact baselines,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_counts_hand_computed(spark):
+    from differential_dataflow_spark.functions.text import add_token_stats
+
+    df = _docs(spark, ["Hello, world! 42", "one two  three"])
+    rows = {r.doc_id: r for r in add_token_stats(df).collect()}
+    # Hello , world ! 42 -> 5 BPE-ish tokens; 3 whitespace tokens
+    assert rows[0].n_tokens == 5 and rows[0].n_ws_tokens == 3
+    assert rows[1].n_tokens == 3 and rows[1].n_ws_tokens == 3
+
+
+def test_quality_and_fingerprint_deterministic(spark):
+    from differential_dataflow_spark.functions.text import fingerprint, quality_score
+
+    df = _docs(spark, ["the cat sat on the mat.", "1234 5678 !!!"])
+    q = {r.doc_id: r for r in quality_score(df).collect()}
+    assert q[0].quality_score > q[1].quality_score  # prose beats digit soup
+    f1 = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    f2 = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert f1 == f2 and f1[0] != f1[1]
+
+
+def test_language_id_markers(spark):
+    from differential_dataflow_spark.functions.text import language_id
+
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of the house",
+            "el perro de la casa que ladra",
+            "le chat et les oiseaux",
+            "der Hund und die Katze das Haus",
+            "这是一个中文句子没有空格",
+        ],
+    )
+    got = {r.doc_id: r.predicted_lang for r in language_id(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "zh"}
+
+
+def test_exact_dedup_planted(spark):
+    from differential_dataflow_spark.functions.dedup import exact_dedup
+
+    df = _docs(spark, ["same text", "Same   TEXT", "unique one"])
+    got = sorted((r.keeper_id, r.n_copies) for r in exact_dedup(df).collect())
+    assert got == [(0, 2), (2, 1)]  # normalization folds case+whitespace
+
+
+def test_minhash_lsh_recall_vs_exact(spark, tmp_path):
+    from differential_dataflow_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "w%d " * 40
+    texts = []
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(40)]
+        texts.append(" ".join(words))
+        # a near-dup of each: one word changed -> jaccard ~ 0.92
+        words2 = list(words)
+        words2[5] = "CHANGED"
+        texts.append(" ".join(words2))
+    df = _docs(spark, texts)
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert exact  # the planted pairs exist
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+    assert approx <= exact  # verification step removes false positives
+
+
+def test_simhash_identical_and_disjoint(spark):
+    from differential_dataflow_spark.functions.dedup import simhash_pairs
+
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta theta",  # identical
+            "qq ww ee rr tt yy uu ii oo pp",  # disjoint vocabulary
+        ],
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    from differential_dataflow_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    # Random 64-dim embeddings have near-orthogonal neighbors (cos ~0.4), the
+    # hardest case for hyperplane LSH: use short signatures + many tables.
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=16)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # few planes on random vectors — sanity bound
+    # every approx hit must carry the exact cosine (reranking is exact)
+    ec = {(r.query_id, r.vec_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in ec:
+            assert abs(ec[(r.query_id, r.vec_id)] - r.cos) < 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    from differential_dataflow_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        resize_metadata,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 16 for r in rows)
+    # determinism across runs
+    again = {r.media_id: r.feature for r in extract_features(media, "fake").collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+    # real decoder is explicitly stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decoder="real").collect()
+    # frame plan: one row per sampled timestamp, videos only
+    plan = frame_sample_plan(media, every_ms=1000)
+    vids = media.filter(F.col("kind") == "video").collect()
+    want = sum(max(v.duration_ms - 1, 0) // 1000 + 1 for v in vids)
+    assert plan.count() == want
+    # resize targets preserve aspect and bound the long side
+    rs = resize_metadata(media, max_side=32).collect()
+    assert all(max(r.target_w, r.target_h) <= 32 for r in rs)
