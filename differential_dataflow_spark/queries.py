@@ -745,3 +745,548 @@ def multimodal_features(spark, sf_dir):
         FF.count("*").cast("long").alias("n"),
         FF.round(FF.avg(FF.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# More TPC-H-like queries (reference tpchlike/src/queries/query02..22.rs,
+# adapted to the reduced schema: no partsupp table — part↔supplier links go
+# through lineitem; no commit/receipt dates or shipmode — date predicates use
+# shipdate/orderdate. The reference itself disclaims exact TPC-H fidelity
+# (tpchlike/README.md:44).)
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "tpch_q2",
+    """SELECT p.p_type, min(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS min_price_cents
+       FROM part p GROUP BY p.p_type""",
+)
+def tpch_q2(spark, sf_dir):
+    """Q2-like minimum-cost part per type (reduce-min shape,
+    tpchlike/src/queries/query02.rs)."""
+    from differential_dataflow_spark.operators.reduce import reduce_extremum
+
+    part = _c(spark, sf_dir, "part").map(
+        F.col("p_type"),
+        min_price_cents=F.round(F.col("p_retailprice") * 100).cast("long"),
+    )
+    out = reduce_extremum(part, ["p_type"], "min_price_cents", minimum=True, single_epoch=True)
+    return out.consolidate_final().drop(DIFF)
+
+
+@query(
+    "tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-10-01'
+         AND o_orderkey IN (
+           SELECT l_orderkey FROM lineitem WHERE l_shipdate > o_orderdate
+         )
+       GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking (tpchlike/src/queries/query04.rs): semijoin
+    of orders to late-shipped lineitems, then count per priority."""
+    orders = (
+        _c(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .map(F.col("o_orderkey"), F.col("o_orderpriority"), F.col("o_orderdate"))
+    )
+    li = _c(spark, sf_dir, "lineitem").map(
+        F.col("l_orderkey"), F.col("l_shipdate")
+    )
+    late = (
+        orders.map(l_orderkey=F.col("o_orderkey"), od=F.col("o_orderdate"))
+        .join(li, on=["l_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("od"))
+        .map(o_orderkey=F.col("l_orderkey"))
+        .distinct()
+    )
+    return (
+        orders.semijoin(late, on=["o_orderkey"])
+        .map(F.col("o_orderpriority"))
+        .count(["o_orderpriority"], alias="order_count")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q5",
+    """SELECT n.n_name,
+              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n.n_name""",
+)
+def tpch_q5(spark, sf_dir):
+    """Q5 local-supplier volume (tpchlike/src/queries/query05.rs): the
+    5-way join chain with the same-nation constraint; dimensions broadcast."""
+    cust = _c(spark, sf_dir, "customer").map(
+        o_custkey=F.col("c_custkey"), c_nation=F.col("c_nationkey")
+    )
+    orders = (
+        _c(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .map(F.col("o_custkey"), l_orderkey=F.col("o_orderkey"))
+    )
+    li = _c(spark, sf_dir, "lineitem").map(
+        F.col("l_orderkey"),
+        F.col("l_suppkey"),
+        rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+    )
+    supp = _c(spark, sf_dir, "supplier").map(
+        l_suppkey=F.col("s_suppkey"), s_nation=F.col("s_nationkey")
+    )
+    nation = _c(spark, sf_dir, "nation").map(
+        c_nation=F.col("n_nationkey"), n_name=F.col("n_name")
+    )
+    joined = (
+        orders.join(cust, on=["o_custkey"], broadcast_other=True)
+        .join(li, on=["l_orderkey"])
+        .join(supp, on=["l_suppkey"], broadcast_other=True)
+        .filter(F.col("c_nation") == F.col("s_nation"))
+        .join(nation, on=["c_nation"], broadcast_other=True)
+    )
+    return (
+        joined.explode_weights(F.col("rev"), F.col("n_name"))
+        .count(["n_name"], alias="revenue_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q7",
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS volume_cents
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+         AND sn.n_name IN ('NATION_1', 'NATION_2')
+         AND cn.n_name <> sn.n_name
+       GROUP BY cn.n_name, sn.n_name""",
+)
+def tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between nation pairs (tpchlike query07)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _c(spark, sf_dir, "customer").map(
+        o_custkey=F.col("c_custkey"), c_nation=F.col("c_nationkey")
+    )
+    orders = _c(spark, sf_dir, "orders").map(
+        F.col("o_custkey"), l_orderkey=F.col("o_orderkey")
+    )
+    li = _c(spark, sf_dir, "lineitem").map(
+        F.col("l_orderkey"),
+        F.col("l_suppkey"),
+        rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+    )
+    supp = _c(spark, sf_dir, "supplier").map(
+        l_suppkey=F.col("s_suppkey"), s_nation=F.col("s_nationkey")
+    )
+    cn = DiffCollection.from_df(nation).map(
+        c_nation=F.col("n_nationkey"), cust_nation=F.col("n_name")
+    )
+    sn = DiffCollection.from_df(nation).map(
+        s_nation=F.col("n_nationkey"), supp_nation=F.col("n_name")
+    )
+    pair = ["NATION_1", "NATION_2"]
+    joined = (
+        orders.join(cust, on=["o_custkey"], broadcast_other=True)
+        .join(li, on=["l_orderkey"])
+        .join(supp, on=["l_suppkey"], broadcast_other=True)
+        .join(cn, on=["c_nation"], broadcast_other=True)
+        .join(sn, on=["s_nation"], broadcast_other=True)
+        .filter(
+            F.col("cust_nation").isin(pair)
+            & F.col("supp_nation").isin(pair)
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+    )
+    return (
+        joined.explode_weights(F.col("rev"), F.col("cust_nation"), F.col("supp_nation"))
+        .count(["cust_nation", "supp_nation"], alias="volume_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q9",
+    """SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_name LIKE '%a%'
+       GROUP BY n.n_name, year(l.l_shipdate)""",
+)
+def tpch_q9(spark, sf_dir):
+    """Q9-like product-type profit by supplier nation and year (adapted:
+    revenue stands in for profit — no partsupp supplycost in this schema)."""
+    li = _c(spark, sf_dir, "lineitem").map(
+        F.col("l_suppkey"),
+        F.col("l_partkey"),
+        ship_year=F.year("l_shipdate").cast("long"),
+        rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+    )
+    supp = _c(spark, sf_dir, "supplier").map(
+        l_suppkey=F.col("s_suppkey"), s_nation=F.col("s_nationkey")
+    )
+    nation = _c(spark, sf_dir, "nation").map(
+        s_nation=F.col("n_nationkey"), n_name=F.col("n_name")
+    )
+    part = (
+        _c(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .map(l_partkey=F.col("p_partkey"))
+        .distinct()
+    )
+    joined = (
+        li.semijoin(part, on=["l_partkey"], broadcast_other=True)
+        .join(supp, on=["l_suppkey"], broadcast_other=True)
+        .join(nation, on=["s_nation"], broadcast_other=True)
+    )
+    return (
+        joined.explode_weights(F.col("rev"), F.col("n_name"), F.col("ship_year"))
+        .count(["n_name", "ship_year"], alias="revenue_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q10",
+    """SELECT c.c_custkey, c.c_name,
+              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_returnflag = 'R'
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-07-01'
+       GROUP BY c.c_custkey, c.c_name""",
+)
+def tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting (tpchlike query10)."""
+    cust = _c(spark, sf_dir, "customer").map(
+        o_custkey=F.col("c_custkey"), c_name=F.col("c_name")
+    )
+    orders = (
+        _c(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .map(F.col("o_custkey"), l_orderkey=F.col("o_orderkey"))
+    )
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .map(
+            F.col("l_orderkey"),
+            rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+        )
+    )
+    joined = orders.join(cust, on=["o_custkey"], broadcast_other=True).join(
+        li, on=["l_orderkey"]
+    )
+    return (
+        joined.explode_weights(
+            F.col("rev"), c_custkey=F.col("o_custkey"), c_name=F.col("c_name")
+        )
+        .count(["c_custkey", "c_name"], alias="revenue_cents")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q13",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey
+       ) GROUP BY c_count""",
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution including zero-order customers
+    (tpchlike query13): degree distribution + antijoin for the zero bucket."""
+    cust = _c(spark, sf_dir, "customer").map(F.col("c_custkey"))
+    orders = _c(spark, sf_dir, "orders").map(c_custkey=F.col("o_custkey"))
+    counts = orders.count(["c_custkey"], alias="c_count")
+    zeros = cust.antijoin(
+        orders.distinct(), on=["c_custkey"]
+    ).map(F.col("c_custkey"), c_count=F.lit(0).cast("long"))
+    return (
+        counts.concat(zeros)
+        .map(F.col("c_count"))
+        .count(["c_count"], alias="custdist")
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q14",
+    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                THEN round(l.l_extendedprice * (1 - l.l_discount) * 100) ELSE 0 END)
+              / sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)), 4) AS promo_share
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+         AND l.l_shipdate < TIMESTAMP '1997-10-01'""",
+)
+def tpch_q14(spark, sf_dir):
+    """Q14 promotion effect (tpchlike query14): two explode+count passes over
+    the same join, combined into a ratio."""
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-09-01")
+            & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .map(
+            l_partkey=F.col("l_partkey"),
+            rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+        )
+    )
+    part = _c(spark, sf_dir, "part").map(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type")
+    )
+    joined = li.join(part, on=["l_partkey"], broadcast_other=True)
+    promo = joined.explode_weights(
+        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0),
+        g=F.lit(1),
+    ).count(["g"], alias="promo_cents")
+    total = joined.explode_weights(F.col("rev"), g=F.lit(1)).count(
+        ["g"], alias="total_cents"
+    )
+    both = promo.join(total, on=["g"])
+    return both.consolidate_final().select(
+        F.round(100.0 * F.col("promo_cents") / F.col("total_cents"), 4).alias(
+            "promo_share"
+        )
+    )
+
+
+@query(
+    "tpch_q15",
+    """WITH rev AS (
+         SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+         GROUP BY l_suppkey
+       )
+       SELECT s.s_suppkey, s.s_name, r.total_cents
+       FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+       WHERE r.total_cents = (SELECT max(total_cents) FROM rev)""",
+)
+def tpch_q15(spark, sf_dir):
+    """Q15 top supplier (tpchlike query15): grouped revenue, max via
+    reduce-max, semijoin back to the winners."""
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .explode_weights(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+            F.col("l_suppkey"),
+        )
+    )
+    rev = li.count(["l_suppkey"], alias="total_cents")
+    best = rev.map(F.col("total_cents"), g=F.lit(1)).reduce_max(["g"], "total_cents")
+    winners = rev.join(
+        best.map(F.col("total_cents")).distinct(), on=["total_cents"],
+        broadcast_other=True,
+    )
+    supp = _c(spark, sf_dir, "supplier").map(
+        l_suppkey=F.col("s_suppkey"), s_name=F.col("s_name")
+    )
+    out = winners.join(supp, on=["l_suppkey"], broadcast_other=True)
+    return out.consolidate_final().select(
+        F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_cents"
+    )
+
+
+@query(
+    "tpch_q17",
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM lineitem l
+       JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) a
+         ON l.l_partkey = a.l_partkey
+       WHERE l.l_quantity < 0.5 * a.avg_qty""",
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue (tpchlike query17): per-key average
+    via the explode/count pair, joined back as a filter."""
+    li = _c(spark, sf_dir, "lineitem").map(
+        F.col("l_partkey"),
+        F.col("l_quantity"),
+        price=F.round(F.col("l_extendedprice") * 100),
+    )
+    qty_sum = li.explode_weights(
+        (F.col("l_quantity") * 1000).cast("long"), F.col("l_partkey")
+    ).count(["l_partkey"], alias="qty_milli")
+    n = li.map(F.col("l_partkey")).count(["l_partkey"], alias="n_items")
+    avg = qty_sum.join(n, on=["l_partkey"]).map(
+        F.col("l_partkey"),
+        avg_qty=F.col("qty_milli") / 1000.0 / F.col("n_items"),
+    )
+    joined = li.join(avg, on=["l_partkey"]).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return (
+        joined.explode_weights(F.col("price"), g=F.lit(1))
+        .count(["g"], alias="total_cents")
+        .consolidate_final()
+        .select("total_cents")
+    )
+
+
+@query(
+    "tpch_q18",
+    """SELECT o.o_orderkey, o.o_orderdate,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+       HAVING sum(CAST(l.l_quantity AS BIGINT)) > 180""",
+)
+def tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers (tpchlike query18): grouped quantity sums
+    thresholded, joined back to the order header."""
+    li = _c(spark, sf_dir, "lineitem").explode_weights(
+        F.col("l_quantity").cast("long"), o_orderkey=F.col("l_orderkey")
+    )
+    qty = li.count(["o_orderkey"], alias="total_qty").filter(
+        F.col("total_qty") > 180
+    )
+    orders = _c(spark, sf_dir, "orders").map(
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+        price_cents=F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    out = qty.join(orders, on=["o_orderkey"])
+    return out.consolidate_final().select(
+        "o_orderkey", "o_orderdate", "price_cents", "total_qty"
+    )
+
+
+@query(
+    "tpch_q19",
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 20)
+          OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity BETWEEN 10 AND 30)""",
+)
+def tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue with disjunctive part predicates
+    (tpchlike query19): join + OR-of-conjunctions filter."""
+    li = _c(spark, sf_dir, "lineitem").map(
+        l_partkey=F.col("l_partkey"),
+        qty=F.col("l_quantity"),
+        rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+    )
+    part = _c(spark, sf_dir, "part").map(
+        l_partkey=F.col("p_partkey"), brand=F.col("p_brand"), size=F.col("p_size")
+    )
+    joined = li.join(part, on=["l_partkey"], broadcast_other=True).filter(
+        (
+            (F.col("brand") == "Brand#1")
+            & F.col("size").between(1, 15)
+            & F.col("qty").between(1, 20)
+        )
+        | (
+            (F.col("brand") == "Brand#2")
+            & F.col("size").between(1, 25)
+            & F.col("qty").between(10, 30)
+        )
+    )
+    return (
+        joined.explode_weights(F.col("rev"), g=F.lit(1))
+        .count(["g"], alias="revenue_cents")
+        .consolidate_final()
+        .select("revenue_cents")
+    )
+
+
+@query(
+    "tpch_q22",
+    """WITH avg_bal AS (
+         SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+       )
+       SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+       FROM customer c, avg_bal
+       WHERE c.c_acctbal > avg_bal.a
+         AND c.c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c.c_nationkey""",
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity (tpchlike query22): above-average-balance
+    customers with no orders, grouped by nation."""
+    cust = _c(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = (
+        pos.explode_weights(
+            F.round(F.col("c_acctbal") * 1000000).cast("long"), g=F.lit(1)
+        )
+        .count(["g"], alias="bal_micro")
+        .join(pos.map(g=F.lit(1)).count(["g"], alias="n"), on=["g"])
+        .map(a=F.col("bal_micro") / 1000000.0 / F.col("n"))
+    )
+    # cross-join the scalar average via a constant key
+    rich = (
+        cust.map(
+            F.col("c_custkey"), F.col("c_nationkey"), F.col("c_acctbal"), g=F.lit(1)
+        )
+        .join(avg_bal.map(F.col("a"), g=F.lit(1)), on=["g"], broadcast_other=True)
+        .filter(F.col("c_acctbal") > F.col("a"))
+    )
+    recent = (
+        _c(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .map(c_custkey=F.col("o_custkey"))
+        .distinct()
+    )
+    no_orders = rich.antijoin(recent, on=["c_custkey"])
+    return (
+        no_orders.explode_weights(
+            F.round(F.col("c_acctbal") * 100), F.col("c_nationkey")
+        )
+        .count(["c_nationkey"], alias="totacctbal_cents")
+        .join(
+            no_orders.map(F.col("c_nationkey")).count(["c_nationkey"], alias="numcust"),
+            on=["c_nationkey"],
+        )
+        .consolidate_final()
+        .select("c_nationkey", "numcust", "totacctbal_cents")
+    )
