@@ -1,0 +1,193 @@
+"""Graph algorithms over edge collections (reference src/algorithms/graphs/*).
+
+Edge collections are DiffCollections with payload ``(src, dst)``; node labels
+are ``(node, value)``. Every algorithm is a composition of the engine's
+operators (join/semijoin/distinct/count/threshold + driver fixpoint), exactly
+like the reference builds them from its operator set:
+
+- ``reachability`` — roots.iterate(join edges ∪ roots).distinct
+  (README.md:22-31), semi-naive.
+- ``bfs_distances`` — min-distance labeling
+  (src/algorithms/graphs/bfs.rs:12-49), delta-keyed-min iteration.
+- ``connected_components`` / ``propagate`` — min-label propagation over
+  (symmetrized) edges (src/algorithms/graphs/propagate.rs:18-60).
+- ``k_core`` — iteratively discard nodes with degree < k
+  (README.md:328-350: threshold-on-degree + semijoin until fixpoint).
+- ``assign_identifiers`` — hash-propose + collision retry rounds
+  (src/algorithms/identifiers.rs:36-60).
+- ``prefix_sum`` — the reference builds this as an iterative power-of-two
+  range decomposition (src/algorithms/prefix_sum.rs); Spark has a native
+  scalable primitive (sort-based running window), which is the idiomatic
+  implementation here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
+from differential_dataflow_spark.operators.iterate import (
+    iterate_keyed_min,
+    semi_naive,
+)
+
+
+def _expand(frontier: DiffCollection, edges: DiffCollection) -> DiffCollection:
+    return (
+        frontier.map(src=F.col("node"))
+        .join(edges.map(F.col("src"), node=F.col("dst")), on=["src"])
+        .map(F.col("node"))
+    )
+
+
+def reachability(
+    roots: DiffCollection, edges: DiffCollection, max_iters: int = 10_000
+) -> DiffCollection:
+    """Nodes reachable from ``roots`` over directed ``edges``.
+    roots payload: (node); edges payload: (src, dst)."""
+    return semi_naive(roots, lambda f: _expand(f, edges), max_iters=max_iters)
+
+
+def bfs_distances(
+    roots: DiffCollection, edges: DiffCollection, max_iters: int = 10_000
+) -> DiffCollection:
+    """(node, dist) of shortest hop-distance from any root
+    (src/algorithms/graphs/bfs.rs)."""
+    init = roots.map(F.col("node"), dist=F.lit(0).cast("long"))
+    return iterate_keyed_min(
+        init,
+        lambda f: f.map(src=F.col("node"), d=F.col("dist"))
+        .join(edges.map(F.col("src"), node=F.col("dst")), on=["src"])
+        .map(F.col("node"), dist=F.col("d") + 1),
+        keys=["node"],
+        value="dist",
+        max_iters=max_iters,
+    )
+
+
+def propagate(
+    labels: DiffCollection, edges: DiffCollection, max_iters: int = 10_000
+) -> DiffCollection:
+    """Per-node minimum label reachable backward along edges — the reference's
+    ``propagate_core`` (src/algorithms/graphs/propagate.rs:18-60).
+    labels payload: (node, label); edges payload: (src, dst)."""
+    return iterate_keyed_min(
+        labels,
+        lambda f: f.map(src=F.col("node"), l=F.col("label"))
+        .join(edges.map(F.col("src"), node=F.col("dst")), on=["src"])
+        .map(F.col("node"), label=F.col("l")),
+        keys=["node"],
+        value="label",
+        max_iters=max_iters,
+    )
+
+
+def connected_components(
+    edges: DiffCollection, max_iters: int = 10_000
+) -> DiffCollection:
+    """(node, component) with component = min node id in the (undirected)
+    component. Symmetrizes edges, then min-label propagation."""
+    sym = edges.concat(
+        edges.map(src=F.col("dst"), dst=F.col("src"))
+    ).distinct(["src", "dst"])
+    nodes = (
+        edges.map(node=F.col("src"))
+        .concat(edges.map(node=F.col("dst")))
+        .distinct(["node"])
+    )
+    labels = nodes.map(F.col("node"), label=F.col("node"))
+    out = propagate(labels, sym, max_iters=max_iters)
+    return out.map(F.col("node"), component=F.col("label"))
+
+
+def k_core(
+    edges: DiffCollection, k: int, max_iters: int = 10_000
+) -> DiffCollection:
+    """The maximal subgraph where every node has degree >= k (undirected):
+    iteratively semijoin edges to surviving nodes until stable
+    (README.md:328-350). Returns the surviving edge collection."""
+    sym = edges.concat(edges.map(src=F.col("dst"), dst=F.col("src"))).distinct(
+        ["src", "dst"]
+    )
+    cur = sym.local_checkpoint()
+    for _ in range(max_iters):
+        degrees = cur.map(node=F.col("src")).threshold(
+            ["node"], lambda cum: F.when(cum >= k, 1).otherwise(0)
+        )
+        survivors_df = degrees.consolidate_final().filter(F.col(DIFF) > 0).select("node")
+        nxt = DiffCollection(
+            cur.df.join(
+                survivors_df.withColumnRenamed("node", "src"), ["src"], "left_semi"
+            ).join(
+                survivors_df.withColumnRenamed("node", "dst"), ["dst"], "left_semi"
+            )
+        ).local_checkpoint()
+        same = nxt.df.count() == cur.df.count()
+        cur.df.unpersist()
+        cur = nxt
+        if same:
+            # undirected edges were symmetrized; return canonical direction
+            return DiffCollection(cur.df.filter(F.col("src") < F.col("dst")))
+    raise RuntimeError(f"k_core did not converge in {max_iters} iterations")
+
+
+def degrees(edges: DiffCollection) -> DiffCollection:
+    """(node, degree) over directed out-edges (hello.rs shape)."""
+    return edges.map(node=F.col("src")).count(["node"], alias="degree")
+
+
+def degree_distribution(edges: DiffCollection) -> DiffCollection:
+    """(degree, n_nodes) — the reference's flagship example."""
+    return degrees(edges).map(F.col("degree")).count(["degree"], alias="n_nodes")
+
+
+def assign_identifiers(
+    records: DiffCollection, max_rounds: int = 64
+) -> DiffCollection:
+    """Assign a unique long id to every distinct record via hash-propose +
+    collision retry (src/algorithms/identifiers.rs:36-60): round r proposes
+    xxhash64(payload, r); records whose proposal collides retry in round r+1.
+    Deterministic and distributed (no sequential counter)."""
+    payload = records.payload_columns
+    remaining = records.distinct(payload).df.select(*payload).localCheckpoint(eager=True)
+    assigned_parts: list[DataFrame] = []
+    for r in range(max_rounds):
+        proposed = remaining.withColumn(
+            "assigned_id", F.xxhash64(*payload, F.lit(r))
+        )
+        w_cnt = Window.partitionBy("assigned_id")
+        marked = proposed.withColumn("__n", F.count("*").over(w_cnt))
+        winners = marked.filter(F.col("__n") == 1).drop("__n").localCheckpoint(
+            eager=True
+        )
+        losers = marked.filter(F.col("__n") > 1).select(*payload).localCheckpoint(
+            eager=True
+        )
+        remaining.unpersist()
+        assigned_parts.append(winners)
+        if losers.isEmpty():
+            losers.unpersist()
+            break
+        remaining = losers
+    else:
+        raise RuntimeError("identifier assignment did not converge")
+    out = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        out = out.unionByName(p)
+    result = out.localCheckpoint(eager=True)
+    for p in assigned_parts:
+        p.unpersist()
+    return DiffCollection.from_df(result)
+
+
+def prefix_sum(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "prefix_sum"
+) -> DataFrame:
+    """Running sum ordered by ``order_col``. The reference constructs this
+    with an iterative power-of-two decomposition (src/algorithms/
+    prefix_sum.rs:16-60) because its engine lacks ordered windows; Spark's
+    sort-based window is the idiomatic, scalable equivalent (range-partitioned
+    sort, one shuffle)."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(value_col).over(w))

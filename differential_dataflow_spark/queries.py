@@ -1290,3 +1290,106 @@ def tpch_q22(spark, sf_dir):
         .consolidate_final()
         .select("c_nationkey", "numcust", "totacctbal_cents")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Graph algorithm queries (reference src/algorithms/graphs/*, README k-core)
+# over a deterministic graph derived from events:
+#   edges = distinct (user_id, floor(value) % 150)
+# --------------------------------------------------------------------------- #
+
+
+def _event_edges(spark, sf_dir) -> DiffCollection:
+    ev = _t(spark, sf_dir, "events")
+    return DiffCollection.from_df(
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+        )
+    ).distinct(["src", "dst"])
+
+
+@query(
+    "graph_degree_distribution",
+    """SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+         SELECT src, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+           FROM events
+         ) GROUP BY src
+       ) GROUP BY degree""",
+)
+def graph_degree_distribution(spark, sf_dir):
+    """degrees.rs / hello.rs on the derived event graph."""
+    from differential_dataflow_spark.algorithms.graphs import degree_distribution
+
+    return (
+        degree_distribution(_event_edges(spark, sf_dir))
+        .consolidate_final()
+        .drop(DIFF)
+    )
+
+
+@query(
+    "graph_bfs",
+    """WITH RECURSIVE e AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       ), reach(node, dist) AS (
+         SELECT DISTINCT CAST(user_id AS BIGINT), CAST(0 AS BIGINT) FROM events
+         WHERE user_id < 3
+         UNION
+         SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+         WHERE r.dist < 200
+       )
+       SELECT node, min(dist) AS dist FROM reach GROUP BY node""",
+)
+def graph_bfs(spark, sf_dir):
+    """BFS distance labeling (src/algorithms/graphs/bfs.rs) from users 0-2."""
+    from differential_dataflow_spark.algorithms.graphs import bfs_distances
+
+    ev = _t(spark, sf_dir, "events")
+    roots = DiffCollection.from_df(
+        ev.filter(F.col("user_id") < 3).select(
+            F.col("user_id").cast("long").alias("node")
+        )
+    ).distinct(["node"])
+    out = bfs_distances(roots, _event_edges(spark, sf_dir))
+    return out.df.select("node", "dist")
+
+
+@query(
+    "graph_connected_components",
+    """WITH RECURSIVE e AS (
+         SELECT src, dst FROM (
+           SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+           FROM events
+         )
+         UNION
+         SELECT dst AS src, src AS dst FROM (
+           SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+           FROM events
+         )
+       ), nodes AS (
+         SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+       ), reach(node, label) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+       )
+       SELECT node, min(label) AS component FROM reach GROUP BY node""",
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components via min-label propagation
+    (src/algorithms/graphs/propagate.rs)."""
+    from differential_dataflow_spark.algorithms.graphs import connected_components
+
+    out = connected_components(_event_edges(spark, sf_dir))
+    return out.df.select("node", "component")
+
+
+@query("graph_kcore")  # iterative peel — python-oracle tested in pytest
+def graph_kcore(spark, sf_dir):
+    from differential_dataflow_spark.algorithms.graphs import k_core
+
+    out = k_core(_event_edges(spark, sf_dir), k=30)
+    return out.df.select("src", "dst")

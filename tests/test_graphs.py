@@ -1,0 +1,150 @@
+"""Graph algorithm tests vs pure-python oracles — the reference's randomized
+differential-testing style (tests/bfs.rs:24-120) with seeded graphs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark import DiffCollection
+from differential_dataflow_spark.algorithms import graphs as G
+
+
+def _edges(spark, pairs):
+    return DiffCollection.from_updates(
+        spark, [(s, d, 0, 1) for s, d in pairs], "src bigint, dst bigint"
+    )
+
+
+def _random_graph(seed=7, n=40, m=120):
+    rng = random.Random(seed)
+    return list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def _py_bfs(pairs, roots):
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    dist = {r: 0 for r in roots}
+    frontier = list(roots)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _py_components(pairs):
+    nodes = {n for p in pairs for n in p}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in nodes}
+
+
+def _py_kcore(pairs, k):
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m_ in adj.pop(n):
+                    adj[m_].discard(n)
+                changed = True
+    return {
+        (min(a, b), max(a, b)) for a in adj for b in adj[a]
+    }
+
+
+def test_bfs_random_graph(spark):
+    pairs = _random_graph()
+    edges = _edges(spark, pairs)
+    roots = DiffCollection.from_updates(spark, [(0, 0, 1), (1, 0, 1)], "node bigint")
+    got = {
+        (r.node, r.dist) for r in G.bfs_distances(roots, edges).df.collect()
+    }
+    want = set(_py_bfs(pairs, [0, 1]).items())
+    assert got == want
+
+
+def test_connected_components_random_graph(spark):
+    pairs = _random_graph(seed=11, n=30, m=40)
+    edges = _edges(spark, pairs)
+    got = {
+        (r.node, r.component)
+        for r in G.connected_components(edges).df.collect()
+    }
+    want = set(_py_components(pairs).items())
+    assert got == want
+
+
+def test_k_core_random_graph(spark):
+    pairs = [(s, d) for s, d in _random_graph(seed=3, n=25, m=80) if s != d]
+    edges = _edges(spark, pairs)
+    got = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in G.k_core(edges, k=3).df.collect()
+    }
+    want = _py_kcore(pairs, 3)
+    assert got == want
+
+
+def test_degree_distribution_matches_python(spark):
+    pairs = _random_graph(seed=5)
+    edges = _edges(spark, pairs)
+    got = {
+        (r.degree, r.n_nodes)
+        for r in G.degree_distribution(edges).consolidate_final().collect()
+    }
+    from collections import Counter
+
+    degs = Counter(s for s, _ in pairs)
+    dist = Counter(degs.values())
+    assert got == {(d, n) for d, n in dist.items()}
+
+
+def test_assign_identifiers_unique_and_deterministic(spark):
+    records = DiffCollection.from_df(
+        spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    )
+    out1 = G.assign_identifiers(records).df.collect()
+    ids = [r.assigned_id for r in out1]
+    assert len(ids) == 500 and len(set(ids)) == 500
+    out2 = G.assign_identifiers(records).df.collect()
+    assert {(r.k, r.assigned_id) for r in out1} == {
+        (r.k, r.assigned_id) for r in out2
+    }
+
+
+def test_prefix_sum(spark):
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(10)], "ord long, val long"
+    )
+    got = {
+        (r.ord, r.prefix_sum)
+        for r in G.prefix_sum(df, "ord", "val").collect()
+    }
+    acc, want = 0, set()
+    for i in range(10):
+        acc += i * 2
+        want.add((i, acc))
+    assert got == want
