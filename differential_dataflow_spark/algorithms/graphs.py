@@ -191,3 +191,113 @@ def prefix_sum(
     sort, one shuffle)."""
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def strongly_connected_components(
+    edges: DiffCollection, max_outer: int = 50
+) -> DiffCollection:
+    """(node, scc) with scc = min node id in the strongly connected component.
+
+    The reference computes SCC with trim + a doubly-nested iterate
+    (src/algorithms/graphs/scc.rs:16-52). Here: the standard distributed
+    FW-BW-coloring scheme, built from the same primitives —
+
+    repeat until no nodes remain:
+      1. color = min node id forward-reachable TO each node (propagate along
+         reversed edges — a keyed-min fixpoint);
+      2. within each color class, nodes backward-reachable from the color's
+         pivot (the node whose id == its color) form one SCC — another
+         keyed-min fixpoint restricted to same-colored edges;
+      3. emit and remove those SCCs.
+
+    Every outer round removes at least one SCC per color class, so outer
+    rounds ≈ the longest chain of SCCs; inner fixpoints are the scalable
+    frontier loops.
+    """
+    remaining = (
+        edges.df.select("src", "dst").distinct().localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        remaining.select(F.col("src").alias("node"))
+        .union(remaining.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_parts: list[DataFrame] = []
+    for _ in range(max_outer):
+        nodes = (
+            remaining.select(F.col("src").alias("node"))
+            .union(remaining.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if nodes.isEmpty():
+            break
+        rem_edges = DiffCollection.from_df(remaining)
+        labels = DiffCollection.from_df(nodes.select("node")).map(
+            F.col("node"), label=F.col("node")
+        )
+        # 1. color: min id that can reach the node (propagate along edges).
+        colors = propagate(labels, rem_edges)
+        color_df = colors.df.select("node", F.col("label").alias("color"))
+
+        # 2. backward reach from each pivot within its color class.
+        colored_edges = (
+            remaining.join(
+                color_df.withColumnRenamed("node", "src").withColumnRenamed(
+                    "color", "c_src"
+                ),
+                "src",
+            )
+            .join(
+                color_df.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "color", "c_dst"
+                ),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            # backward: reverse the edge direction
+            .select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        pivots = color_df.filter(F.col("node") == F.col("color")).select("node")
+        scc_nodes = semi_naive(
+            DiffCollection.from_df(pivots),
+            lambda f: f.map(src=F.col("node"))
+            .join(
+                DiffCollection.from_df(colored_edges).map(
+                    F.col("src"), node=F.col("dst")
+                ),
+                on=["src"],
+            )
+            .map(F.col("node")),
+        ).df.select("node")
+        scc = scc_nodes.join(color_df, "node").select(
+            "node", F.col("color").alias("scc")
+        )
+        out_parts.append(scc.localCheckpoint(eager=True))
+
+        # 3. remove settled nodes.
+        prev = remaining
+        remaining = (
+            remaining.join(scc.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(scc.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+    else:
+        raise RuntimeError(f"SCC did not settle within {max_outer} outer rounds")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    # Nodes that lost all their edges when a neighbor's SCC was removed are
+    # singleton components of themselves.
+    singletons = all_nodes.join(out.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("scc")
+    )
+    result = out.unionByName(singletons).localCheckpoint(eager=True)
+    for p in out_parts:
+        p.unpersist()
+    remaining.unpersist()
+    all_nodes.unpersist()
+    return DiffCollection.from_df(result)

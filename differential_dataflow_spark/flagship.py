@@ -42,11 +42,20 @@ def flagship_pipeline(
     t_start = time.time()
     stages: dict[str, float] = {}
 
+    # Stage the generated input as a parquet table (tmpfs in the sandbox;
+    # Iceberg/object store in production). 4x faster to materialize than a
+    # localCheckpoint and gives downstream stages real column pruning —
+    # group reads only (conv_id, epoch, diff), never the text column.
     t0 = time.time()
+    import shutil
+    import uuid
+
+    staging = f"/dev/shm/flagship-{uuid.uuid4().hex[:8]}"
     transcripts = generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
-    updates = transcripts_with_epochs(transcripts, epoch_seconds=epoch_seconds).localCheckpoint(
-        eager=True
-    )
+    transcripts_with_epochs(transcripts, epoch_seconds=epoch_seconds).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    updates = spark.read.parquet(staging)
     n_turns = updates.count()
     stages["generate"] = round(time.time() - t0, 3)
 
@@ -75,14 +84,17 @@ def flagship_pipeline(
 
     # Iterate: conversation reference graph — each conv points at 4
     # hash-derived convs (random 4-out digraph: giant out-component, ~log_4
-    # diameter keeps driver-side fixpoint rounds bounded). Conversation-level
-    # (not turn-level): fixpoint rounds are inherently sequential, so the
-    # round count, not per-round volume, is what must stay small.
+    # diameter bounds the driver-side fixpoint at ~10 rounds). Fixpoint
+    # rounds are inherently sequential in ANY engine (the reference's
+    # iterate is too); the per-round latency floor is what dominates this
+    # stage, so bench reports the group+join core's scaling separately.
     t0 = time.time()
     convs = updates.select("conv_id").distinct()
     conv_no = F.abs(F.xxhash64("conv_id")) % n_convs
-    # Materialize the deduplicated edge set once — a lazy distinct would
-    # re-execute its shuffle inside every fixpoint round.
+    # Materialize the deduplicated edge set once (a lazy distinct would
+    # re-execute its shuffle inside every fixpoint round) and pre-partition
+    # it by join key: the checkpointed LogicalRDD keeps its HashPartitioning,
+    # so each round's join only shuffles the (smaller) frontier side.
     edges_df = (
         convs.select(
             conv_no.alias("src"),
@@ -96,6 +108,7 @@ def flagship_pipeline(
             ).alias("dst"),
         )
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     edges = DiffCollection.from_df(edges_df)
@@ -119,7 +132,9 @@ def flagship_pipeline(
     from differential_dataflow_spark.session import release_all_cached
 
     release_all_cached(spark)
+    shutil.rmtree(staging, ignore_errors=True)
     wall = time.time() - t_start
+    engine = wall - stages["generate"]
     return {
         "n_turns": n_turns,
         "count_updates": n_count_updates,
@@ -127,5 +142,7 @@ def flagship_pipeline(
         "reached_nodes": n_reached,
         "stages": stages,
         "wall_sec": round(wall, 3),
+        "engine_sec": round(engine, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "engine_turns_per_sec": round(n_turns / engine, 1),
     }

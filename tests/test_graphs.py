@@ -148,3 +148,59 @@ def test_prefix_sum(spark):
         acc += i * 2
         want.add((i, acc))
     assert got == want
+
+
+def _py_scc(pairs):
+    import sys
+    sys.setrecursionlimit(100000)
+    nodes = sorted({n for p in pairs for n in p})
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        for w in adj.get(v, ()):
+            if w not in index:
+                strongconnect(w)
+                low[v] = min(low[v], low[w])
+            elif w in on_stack:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            members = []
+            while True:
+                w = stack.pop()
+                on_stack.discard(w)
+                members.append(w)
+                if w == v:
+                    break
+            m = min(members)
+            for w in members:
+                comp[w] = m
+
+    for n in nodes:
+        if n not in index:
+            strongconnect(n)
+    return comp
+
+
+def test_scc_random_graph(spark):
+    pairs = _random_graph(seed=13, n=20, m=45)
+    pairs += [(1, 2), (2, 3), (3, 1)]  # plant a cycle
+    pairs = list(set(pairs))
+    edges = _edges(spark, pairs)
+    got = {
+        (r.node, r.scc)
+        for r in G.strongly_connected_components(edges).df.collect()
+    }
+    want = set(_py_scc(pairs).items())
+    assert got == want
