@@ -238,7 +238,12 @@ def strongly_connected_components(
         )
         # 1. color: min id that can reach the node (propagate along edges).
         colors = propagate(labels, rem_edges)
-        color_df = colors.df.select("node", F.col("label").alias("color"))
+        # Materialized once: used three times below (two edge-endpoint joins
+        # + pivot filter) — a shared derived subplan in a self-join shape
+        # trips Catalyst attribute deduplication ("key not found: node#N").
+        color_df = colors.df.select(
+            "node", F.col("label").alias("color")
+        ).localCheckpoint(eager=True)
 
         # 2. backward reach from each pivot within its color class.
         colored_edges = (
@@ -259,6 +264,10 @@ def strongly_connected_components(
             .select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
+            # checkpoint: re-evaluated every fixpoint round, and the fresh
+            # LogicalRDD also avoids attribute-id collisions between the
+            # frontier lineage and the roots lineage inside semi_naive.
+            .localCheckpoint(eager=True)
         )
         pivots = color_df.filter(F.col("node") == F.col("color")).select("node")
         scc_nodes = semi_naive(
@@ -276,6 +285,7 @@ def strongly_connected_components(
             "node", F.col("color").alias("scc")
         )
         out_parts.append(scc.localCheckpoint(eager=True))
+        colored_edges.unpersist()
 
         # 3. remove settled nodes.
         prev = remaining

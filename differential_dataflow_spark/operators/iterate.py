@@ -98,29 +98,48 @@ def semi_naive(
     """
     key = roots.payload_columns
     first = _ckpt(roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key))
-    # The total is kept as a list of per-round checkpointed frontier parts;
-    # the anti-join reads their lazy union. This costs one materialization
-    # per round (the new frontier) instead of two (frontier + rebuilt total).
+    # The total is kept as a list of per-round checkpointed frontier parts.
+    # Dedup is a CHAIN of per-part left_anti joins, not an anti-join against
+    # their union: a lazy Union of checkpointed parts trips Catalyst's
+    # constraint rewriting (UnionBase.rewriteConstraints "key not found"),
+    # and chained anti-joins keep the candidate side partitioned while each
+    # small part can broadcast. Parts are merged every `compact_every`
+    # rounds to bound plan depth (the LSM merge of the reference's spine).
+    compact_every = 16
     parts: list[DataFrame] = [first]
+    deferred: list[DataFrame] = []
     frontier = first
     for _ in range(max_iters):
         frontier_coll = DiffCollection.from_df(frontier)
         cand = expand(frontier_coll).df.select(*key).distinct()
-        total = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
-        for p in parts[2:]:
-            total = total.unionAll(p)
-        new = _ckpt(cand.join(total, key, "left_anti"))
+        for p in parts:
+            cand = cand.join(p, key, "left_anti")
+        new = _ckpt(cand)
         if new.isEmpty():
             # Materialize the result as one fresh checkpoint, then release
             # every per-round block — leaked checkpoint blocks degrade the
             # whole session (observed 3x slowdowns on later jobs).
+            total = parts[0]
+            for p in parts[1:]:
+                total = total.unionAll(p)
             result = _ckpt(total)
-            for p in parts:
+            for p in parts + deferred:
                 p.unpersist()
             new.unpersist()
             return DiffCollection.from_df(result)
         parts.append(new)
         frontier = new
+        if len(parts) >= compact_every:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionAll(p)
+            merged = _ckpt(merged)
+            # `new` is still the live frontier — defer its release.
+            for p in parts:
+                if p is not new:
+                    p.unpersist()
+            deferred.append(new)
+            parts = [merged]
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
 
 
