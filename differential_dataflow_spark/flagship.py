@@ -50,6 +50,10 @@ def flagship_pipeline(
     import shutil
     import uuid
 
+    # Sweep stale staging dirs from interrupted runs, then stage our own.
+    import glob
+    for stale in glob.glob("/dev/shm/flagship-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     staging = f"/dev/shm/flagship-{uuid.uuid4().hex[:8]}"
     transcripts = generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
     transcripts_with_epochs(transcripts, epoch_seconds=epoch_seconds).write.mode(

@@ -1393,3 +1393,74 @@ def graph_kcore(spark, sf_dir):
 
     out = k_core(_event_edges(spark, sf_dir), k=30)
     return out.df.select("src", "dst")
+
+
+# --------------------------------------------------------------------------- #
+# Window-policy epochs (SURVEY.md §1.4: epochs = tumbling/sliding/session
+# windows) driving the incremental count operator over the events stream.
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "window_tumbling_count",
+    """SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type, floor(epoch(ts) / 3600)""",
+)
+def window_tumbling_count(spark, sf_dir):
+    """Hourly tumbling windows -> per-(type, window) counts."""
+    from differential_dataflow_spark.streaming.windows import tumbling_epochs
+
+    ev = tumbling_epochs(_t(spark, sf_dir, "events"), "ts", 3600)
+    coll = DiffCollection(ev.select("event_type", EPOCH, DIFF))
+    out = (
+        coll.df.groupBy("event_type", EPOCH)
+        .agg(F.sum(DIFF).cast("long").alias("n"))
+    )
+    return out.select("event_type", EPOCH, "n")
+
+
+@query(
+    "window_sliding_count",
+    """SELECT w AS epoch, CAST(count(*) AS BIGINT) AS n FROM (
+         SELECT unnest(range(CAST(floor((epoch(ts) - 7200) / 3600) + 1 AS BIGINT),
+                             CAST(floor(epoch(ts) / 3600) + 1 AS BIGINT))) AS w
+         FROM events
+       ) GROUP BY w""",
+)
+def window_sliding_count(spark, sf_dir):
+    """2h windows sliding by 1h: each event lands in 2 windows."""
+    from differential_dataflow_spark.streaming.windows import sliding_epochs
+
+    ev = sliding_epochs(_t(spark, sf_dir, "events"), "ts", 7200, 3600)
+    out = ev.groupBy(EPOCH).agg(F.sum(DIFF).cast("long").alias("n"))
+    return out.select(EPOCH, "n")
+
+
+@query(
+    "window_session_count",
+    """WITH g AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts) > 1800
+                     OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+       ), s AS (
+         SELECT user_id, t,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sn
+         FROM g
+       )
+       SELECT user_id, CAST(min(t) AS BIGINT) AS epoch,
+              CAST(count(*) AS BIGINT) AS n
+       FROM s GROUP BY user_id, sn""",
+)
+def window_session_count(spark, sf_dir):
+    """30-minute-gap sessions per user -> per-session event counts."""
+    from differential_dataflow_spark.streaming.windows import session_epochs
+
+    ev = session_epochs(_t(spark, sf_dir, "events"), "user_id", "ts", 1800)
+    out = ev.groupBy("user_id", EPOCH).agg(F.sum(DIFF).cast("long").alias("n"))
+    return out.select("user_id", EPOCH, "n")

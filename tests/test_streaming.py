@@ -188,3 +188,60 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     want = sorted((k, n, d) for (k, n, e, d) in oracle)
     assert got == want
+
+
+def test_streaming_native_window_aggs(spark, tmp_path):
+    """Native tumbling + session window aggregations under a watermark over a
+    file stream (frontier discipline: append mode emits closed windows)."""
+    import datetime as dt
+
+    from differential_dataflow_spark.streaming.windows import (
+        streaming_session_agg,
+        streaming_tumbling_agg,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("a", base),
+        ("a", base + dt.timedelta(minutes=1)),
+        ("b", base + dt.timedelta(minutes=2)),
+        ("a", base + dt.timedelta(minutes=40)),  # new session for a
+        ("a", base + dt.timedelta(hours=3)),     # advances watermark far
+    ]
+    src = tmp_path / "win_in"
+    spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+
+    out = streaming_tumbling_agg(stream, "ts", "10 minutes", ["k"], "5 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumble_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.k, r.win_start.minute, r.n)
+        for r in spark.sql("select * from tumble_out").collect()
+    }
+    # closed windows only: the 3h event's window is still open at stream end
+    assert ("a", 0, 2) in got and ("b", 0, 1) in got and ("a", 40, 1) in got
+
+    out2 = streaming_session_agg(stream, "ts", "30 minutes", ["k"], "5 minutes")
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        (r.k, r.n) for r in spark.sql("select * from sess_out").collect()
+    }
+    assert ("a", 2) in got2  # first session of a: 2 events within the gap
+    assert ("a", 1) in got2  # the minute-40 event is its own session
+    assert ("b", 1) in got2
