@@ -31,6 +31,8 @@ from differential_dataflow_spark.operators.iterate import (
     iterate_keyed_min,
     semi_naive,
 )
+from differential_dataflow_spark.session import release_checkpoint as _release
+from differential_dataflow_spark.session import tracked_local_checkpoint as _tckpt
 
 
 def _expand(frontier: DiffCollection, edges: DiffCollection) -> DiffCollection:
@@ -111,6 +113,7 @@ def k_core(
         ["src", "dst"]
     )
     cur = sym.local_checkpoint()
+    cur_count = cur.df.count()
     for _ in range(max_iters):
         degrees = cur.map(node=F.col("src")).threshold(
             ["node"], lambda cum: F.when(cum >= k, 1).otherwise(0)
@@ -123,9 +126,12 @@ def k_core(
                 survivors_df.withColumnRenamed("node", "dst"), ["dst"], "left_semi"
             )
         ).local_checkpoint()
-        same = nxt.df.count() == cur.df.count()
-        cur.df.unpersist()
-        cur = nxt
+        # Survivors only shrink, so one count per round decides convergence
+        # (the previous round's count is carried, not recomputed).
+        nxt_count = nxt.df.count()
+        same = nxt_count == cur_count
+        _release(cur.df)
+        cur, cur_count = nxt, nxt_count
         if same:
             # undirected edges were symmetrized; return canonical direction
             return DiffCollection(cur.df.filter(F.col("src") < F.col("dst")))
@@ -143,31 +149,54 @@ def degree_distribution(edges: DiffCollection) -> DiffCollection:
 
 
 def assign_identifiers(
-    records: DiffCollection, max_rounds: int = 64
+    records: DiffCollection, max_rounds: int = 64, hash_fn=None
 ) -> DiffCollection:
     """Assign a unique long id to every distinct record via hash-propose +
     collision retry (src/algorithms/identifiers.rs:36-60): round r proposes
     xxhash64(payload, r); records whose proposal collides retry in round r+1.
-    Deterministic and distributed (no sequential counter)."""
+    Deterministic and distributed (no sequential counter).
+
+    Collision detection covers BOTH the current round's proposals and the ids
+    already settled in earlier rounds (the reference re-groups the full
+    collection every round, winners included — identifiers.rs:44-52 — which is
+    what makes its crippled-hash uniqueness test pass): a retry whose hash
+    lands on an existing winner's id is pushed to the next round, not emitted
+    as a duplicate.
+    """
     payload = records.payload_columns
-    remaining = records.distinct(payload).df.select(*payload).localCheckpoint(eager=True)
+    if hash_fn is None:  # hash_fn(payload_cols, round) -> Column; tests
+        hash_fn = lambda cols, r: F.xxhash64(*cols, F.lit(r))  # noqa: E731
+    remaining = _tckpt(records.distinct(payload).df.select(*payload))
     assigned_parts: list[DataFrame] = []
+    settled_ids: DataFrame | None = None  # ids taken in earlier rounds
     for r in range(max_rounds):
-        proposed = remaining.withColumn(
-            "assigned_id", F.xxhash64(*payload, F.lit(r))
-        )
+        proposed = remaining.withColumn("assigned_id", hash_fn(payload, r))
         w_cnt = Window.partitionBy("assigned_id")
         marked = proposed.withColumn("__n", F.count("*").over(w_cnt))
-        winners = marked.filter(F.col("__n") == 1).drop("__n").localCheckpoint(
-            eager=True
-        )
-        losers = marked.filter(F.col("__n") > 1).select(*payload).localCheckpoint(
-            eager=True
-        )
-        remaining.unpersist()
+        round_winners = marked.filter(F.col("__n") == 1).drop("__n")
+        round_losers = marked.filter(F.col("__n") > 1).select(*payload)
+        if settled_ids is not None:
+            # Validate against already-taken ids: clashing proposals retry.
+            clash = round_winners.join(
+                settled_ids, "assigned_id", "left_semi"
+            ).select(*payload)
+            round_winners = round_winners.join(
+                settled_ids, "assigned_id", "left_anti"
+            )
+            round_losers = round_losers.unionByName(clash)
+        winners = _tckpt(round_winners)
+        losers = _tckpt(round_losers)
+        _release(remaining)
         assigned_parts.append(winners)
+        ids_part = winners.select("assigned_id")
+        prev_settled = settled_ids
+        settled_ids = _tckpt(
+            ids_part if settled_ids is None else settled_ids.unionByName(ids_part)
+        )
+        if prev_settled is not None:
+            _release(prev_settled)
         if losers.isEmpty():
-            losers.unpersist()
+            _release(losers)
             break
         remaining = losers
     else:
@@ -175,9 +204,11 @@ def assign_identifiers(
     out = assigned_parts[0]
     for p in assigned_parts[1:]:
         out = out.unionByName(p)
-    result = out.localCheckpoint(eager=True)
+    result = _tckpt(out)
     for p in assigned_parts:
-        p.unpersist()
+        _release(p)
+    if settled_ids is not None:
+        _release(settled_ids)
     return DiffCollection.from_df(result)
 
 
@@ -214,15 +245,13 @@ def strongly_connected_components(
     rounds ≈ the longest chain of SCCs; inner fixpoints are the scalable
     frontier loops.
     """
-    remaining = (
-        edges.df.select("src", "dst").distinct().localCheckpoint(eager=True)
-    )
+    remaining = _tckpt(edges.df.select("src", "dst").distinct())
     all_nodes = (
         remaining.select(F.col("src").alias("node"))
         .union(remaining.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    all_nodes = _tckpt(all_nodes)
     out_parts: list[DataFrame] = []
     for _ in range(max_outer):
         nodes = (
@@ -241,9 +270,9 @@ def strongly_connected_components(
         # Materialized once: used three times below (two edge-endpoint joins
         # + pivot filter) — a shared derived subplan in a self-join shape
         # trips Catalyst attribute deduplication ("key not found: node#N").
-        color_df = colors.df.select(
-            "node", F.col("label").alias("color")
-        ).localCheckpoint(eager=True)
+        color_df = _tckpt(
+            colors.df.select("node", F.col("label").alias("color"))
+        )
 
         # 2. backward reach from each pivot within its color class.
         colored_edges = (
@@ -267,10 +296,10 @@ def strongly_connected_components(
             # checkpoint: re-evaluated every fixpoint round, and the fresh
             # LogicalRDD also avoids attribute-id collisions between the
             # frontier lineage and the roots lineage inside semi_naive.
-            .localCheckpoint(eager=True)
         )
+        colored_edges = _tckpt(colored_edges)
         pivots = color_df.filter(F.col("node") == F.col("color")).select("node")
-        scc_nodes = semi_naive(
+        scc_reach = semi_naive(
             DiffCollection.from_df(pivots),
             lambda f: f.map(src=F.col("node"))
             .join(
@@ -280,21 +309,28 @@ def strongly_connected_components(
                 on=["src"],
             )
             .map(F.col("node")),
-        ).df.select("node")
-        scc = scc_nodes.join(color_df, "node").select(
-            "node", F.col("color").alias("scc")
+        ).df
+        scc_nodes = scc_reach.select("node")
+        # Checkpoint BEFORE releasing color_df/colored_edges: the lazy plan
+        # references both, and a released checkpoint block is unrecoverable.
+        scc = _tckpt(
+            scc_nodes.join(color_df, "node").select(
+                "node", F.col("color").alias("scc")
+            )
         )
-        out_parts.append(scc.localCheckpoint(eager=True))
-        colored_edges.unpersist()
+        out_parts.append(scc)
+        _release(scc_reach)
+        _release(colored_edges)
+        _release(color_df)
 
         # 3. remove settled nodes.
         prev = remaining
         remaining = (
             remaining.join(scc.select(F.col("node").alias("src")), "src", "left_anti")
             .join(scc.select(F.col("node").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(eager=True)
         )
-        prev.unpersist()
+        remaining = _tckpt(remaining)
+        _release(prev)
     else:
         raise RuntimeError(f"SCC did not settle within {max_outer} outer rounds")
     out = out_parts[0]
@@ -305,9 +341,9 @@ def strongly_connected_components(
     singletons = all_nodes.join(out.select("node"), "node", "left_anti").select(
         "node", F.col("node").alias("scc")
     )
-    result = out.unionByName(singletons).localCheckpoint(eager=True)
+    result = _tckpt(out.unionByName(singletons))
     for p in out_parts:
-        p.unpersist()
-    remaining.unpersist()
-    all_nodes.unpersist()
+        _release(p)
+    _release(remaining)
+    _release(all_nodes)
     return DiffCollection.from_df(result)

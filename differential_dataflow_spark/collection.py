@@ -56,6 +56,10 @@ class DiffCollection:
         # Canonical column order: payload first, then (epoch, diff).
         payload = [c for c in df.columns if c not in RESERVED]
         self.df = df.select(*payload, EPOCH, DIFF)
+        # Carry any tracked-checkpoint handle through the re-projection so
+        # session.release_checkpoint(coll.df) still frees the blocks.
+        if hasattr(df, "_ckpt_rdds"):
+            self.df._ckpt_rdds = df._ckpt_rdds
 
     # ------------------------------------------------------------------ #
     # Construction
@@ -73,7 +77,10 @@ class DiffCollection:
         ``new_collection_from``, src/input.rs:80-111)."""
         e = F.lit(epoch).cast("long") if isinstance(epoch, int) else epoch.cast("long")
         d = F.lit(diff).cast("long") if isinstance(diff, int) else diff.cast("long")
-        return cls(df.withColumn(EPOCH, e).withColumn(DIFF, d))
+        lifted = df.withColumn(EPOCH, e).withColumn(DIFF, d)
+        if hasattr(df, "_ckpt_rdds"):
+            lifted._ckpt_rdds = df._ckpt_rdds
+        return cls(lifted)
 
     @classmethod
     def from_updates(
@@ -410,11 +417,19 @@ class DiffCollection:
         return reduce_extremum(self, keys, value, minimum=False)
 
     def top_k(
-        self, keys: Sequence[str], order_by: Sequence[Column], k: int
+        self,
+        keys: Sequence[str],
+        order_by: Sequence[Column],
+        k: int,
+        single_epoch: bool = True,
     ) -> "DiffCollection":
+        """First k distinct values per key. ``single_epoch=True`` (default)
+        is the Catalyst fast path, valid ONLY when every update shares one
+        epoch; pass ``single_epoch=False`` for evolving collections (general
+        retraction-correct kernel; see operators.reduce.top_k)."""
         from differential_dataflow_spark.operators.reduce import top_k as _top_k
 
-        return _top_k(self, keys, order_by, k)
+        return _top_k(self, keys, order_by, k, single_epoch=single_epoch)
 
     # ------------------------------------------------------------------ #
     # Iteration (reference src/operators/iterate.rs) — operators/iterate.py
@@ -475,8 +490,17 @@ class DiffCollection:
         return self
 
     def local_checkpoint(self) -> "DiffCollection":
-        """Cut lineage (for driver-side iteration)."""
-        return DiffCollection(self.df.localCheckpoint(eager=True))
+        """Cut lineage (for driver-side iteration). Tracked so
+        ``session.release_checkpoint(coll.df)`` can actually free the blocks
+        (plain ``DataFrame.unpersist()`` is a no-op on checkpoint RDDs)."""
+        from differential_dataflow_spark.session import tracked_local_checkpoint
+
+        ckpt = tracked_local_checkpoint(self.df, eager=True)
+        out = DiffCollection(ckpt)
+        # __init__ re-projects into canonical column order, which drops the
+        # tracked handle — carry it onto the collection's DataFrame.
+        out.df._ckpt_rdds = getattr(ckpt, "_ckpt_rdds", [])
+        return out
 
     def repartition_by(self, *keys: str, num: int | None = None) -> "DiffCollection":
         """Explicit hash partitioning by key — the reference's Exchange pact

@@ -64,42 +64,159 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct xxhash64 of each word n-gram — the working representation for
+    all shingle-based dedup. 8-byte longs instead of ~n-word strings cut both
+    shuffle width and array_intersect cost; Jaccard over hashed sets equals
+    Jaccard over the strings up to 64-bit collisions (~0 in practice).
+
+    Computed by hashing each token once and combining n consecutive token
+    hashes per gram — no per-gram string slicing/concatenation (the string
+    path costs ~2x in interpreted HOF evaluation). The gram identity (which
+    token n-tuples are distinct) is the same as for string shingles.
+    """
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<long>"))
+    )
+
+
+def _shingle_base(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh: array<long>) with empty-shingle docs dropped, PERSISTED —
+    every dedup plan reads it 3-5 times (blocking explode x2 sides,
+    df-filter, verification rejoin x2); without caching the expensive
+    tokenise+gram+hash expression re-runs per read. Freed by the session's
+    release_all_cached / unpersist.
+
+    Repartitioned first: a small parquet input arrives as one split, and
+    without the explicit exchange the whole tokenise+gram pipeline (the
+    dominant cost) runs on a single core — and the persisted single partition
+    then serializes everything downstream too.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        # Filter on the CHEAP token-count predicate (equivalent: shingles are
+        # non-empty iff the doc has >= n tokens). Filtering on size(sh) would
+        # let Catalyst push the predicate below the projection and evaluate
+        # the expensive shingle expression twice per row.
+        .filter(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
+        .persist()
+    )
+    # Materialize NOW: downstream plans read this from 3-5 independent query
+    # stages that AQE submits concurrently — left lazy, each stage races to
+    # compute the uncached partitions and the expensive shingle expression
+    # runs several times over.
+    base.count()
+    return base
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int = 256,
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs over n-gram shingles, blocked by
-    shared shingle (an explode + self-join on the shingle — no cross
-    product). Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).withColumn("sh_size", F.size("sh"))
-    exploded = base.select("id", "sh_size", F.explode("sh").alias("gram"))
+    """Jaccard >= threshold pairs over n-gram shingles, blocked by shared
+    *rare* shingle. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Skew control (the 100 TB requirement): a shingle shared by d documents
+    contributes O(d^2) candidate pairs, so one stop-phrase shingle shared by
+    1M docs would explode the self-join. Shingles with document frequency
+    above ``df_cap`` are dropped from the BLOCKING step only; the Jaccard
+    itself is verified exactly by re-joining the full shingle arrays by id,
+    so every emitted score is exact. A true pair is missed only if ALL of its
+    shared shingles are above the cap — for near-identical documents (the
+    >=0.8 regime) practically never; pass ``df_cap=None`` for guaranteed
+    completeness when the corpus is known skew-free.
+    """
+    base = _shingle_base(df, text_col, id_col, n)
+    exploded = base.select("id", F.explode("sh").alias("gram"))
+    if df_cap is not None:
+        # Document frequency per shingle; keep only rare shingles as block
+        # keys. One extra shuffle on gram, map-side combined.
+        rare = (
+            exploded.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("gram")
+        )
+        exploded = exploded.join(rare, "gram", "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh_size").alias("size_a"),
-            F.col("b.sh_size").alias("size_b"),
+    # Candidates carry ids only, AGGREGATED to (pair, shared-rare-gram count)
+    # — counting in the shuffle (map-side combined) instead of materializing
+    # one wide row per shared gram.
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
         )
-        .agg(F.count("*").cast("double").alias("n_inter"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("__n_shared"))
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.round(
-            F.col("n_inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-            6,
-        ),
+    # Jaccard UPPER BOUND from counts alone: the true intersection is at most
+    # shared-rare + min(dropped_a, dropped_b), where dropped = shingles above
+    # the df cap. Pairs whose bound misses the threshold are discarded before
+    # the (array-sized) exact verification — with nothing dropped the bound
+    # IS the exact Jaccard, so the verify set is already the answer set.
+    sizes = base.select("id", F.size("sh").alias("__sz"))
+    kept = exploded.groupBy("id").agg(F.count("*").alias("__n_rare"))
+    stats = sizes.join(kept, "id", "left").select(
+        "id",
+        "__sz",
+        (F.col("__sz") - F.coalesce(F.col("__n_rare"), F.lit(0))).alias("__drop"),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    sa = stats.select(
+        F.col("id").alias("id_a"),
+        F.col("__sz").alias("__sz_a"),
+        F.col("__drop").alias("__drop_a"),
+    )
+    sb = stats.select(
+        F.col("id").alias("id_b"),
+        F.col("__sz").alias("__sz_b"),
+        F.col("__drop").alias("__drop_b"),
+    )
+    ub_inter = F.col("__n_shared") + F.least("__drop_a", "__drop_b")
+    ub_j = ub_inter / (F.col("__sz_a") + F.col("__sz_b") - ub_inter)
+    # sizes/kept are one short row per doc — AQE broadcasts them when small
+    # and falls back to shuffle joins at corpus scale.
+    plausible = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ub_j >= threshold)
+        .select("id_a", "id_b")
+    )
+    return _verify_jaccard(plausible, base, threshold)
+
+
+def _verify_jaccard(
+    cands: DataFrame, base: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs: join the shingle
+    arrays back by id (two hash joins on the small candidate set) and score
+    with native array_intersect/array_union."""
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -129,14 +246,25 @@ def minhash_lsh_pairs(
     Jaccard verification. Shuffles: by band bucket (candidates), by pair
     (verification) — no cross product. Output (id_a, id_b, jaccard)."""
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+    base = _shingle_base(df, text_col, id_col, n)
+    # Signature as ONE hash-aggregate pass: explode grams to rows, then k
+    # min-of-affine-permutation aggregates in a single groupBy (whole-stage
+    # codegen). The Column-expression minhash_signature runs k interpreted
+    # array-HOF passes per document and is several times slower at scale.
+    exploded = base.select("id", F.explode("sh").alias("g")).select(
+        "id", (F.abs(F.xxhash64("g")) % PRIME).alias("hv")
+    )
+    mins = [
+        F.min((F.col("hv") * (2 * i + 1) + ((0x85EBCA6B + i * 1315423911) % PRIME)) % PRIME).alias(f"__m{i}")
+        for i in range(k)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    # The banded self-join carries ONLY (band, bucket, id): shuffling the
+    # shingle arrays through a 16-way band explosion would move document
+    # contents x16 (it benched SLOWER than the exact path). Shingles re-join
+    # by id for verification on the (small) candidate set.
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -146,7 +274,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", bi * rows + ri + 1)
+                                    F.col(f"__m{bi * rows + ri}")
                                     for ri in range(rows)
                                 ],
                             )
@@ -156,7 +284,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -166,21 +294,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cands, base, threshold)
 
 
 def simhash(col: Column | str, bits: int = 64) -> Column:
@@ -207,6 +324,38 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, sh) with sh = 64-bit SimHash, computed as ONE hash aggregate:
+    explode distinct token hashes to rows, then 64 conditional sums in a
+    single groupBy pass (whole-stage codegen) — the column-expression
+    :func:`simhash` runs 64 interpreted HOF passes over each token array and
+    is ~3x slower at corpus scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(par).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+        ).alias("h"),
+    )
+
+    def bit(i: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    per_doc = exploded.groupBy("id").agg(*votes)
+    sh = (F.col("__b0") > 0).cast("long") * bit(0)
+    for i in range(1, bits):
+        sh = sh + (F.col(f"__b{i}") > 0).cast("long") * bit(i)
+    return per_doc.select("id", sh.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -216,9 +365,9 @@ def simhash_pairs(
     """Near-dup pairs by simhash Hamming distance <= max_hamming, blocked on
     16-bit chunk equality (pigeonhole: distance <= 3 over 4 chunks implies an
     identical chunk). Output (id_a, id_b, hamming)."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
-    )
+    # Persisted: the chunk self-join reads the (expensive) simhash aggregate
+    # from both sides. Freed by release_all_cached / session teardown.
+    base = simhash_table(df, text_col, id_col).persist()
     chunks = base.select(
         "id",
         "sh",

@@ -6,8 +6,12 @@
 - ``lsh_topk`` — random-hyperplane LSH: deterministic hyperplanes from
   xxhash64, signature buckets block the search; candidates reranked exactly.
   The scale path: corpus hashed once, queries probe only matching buckets.
-- ``embedding_cosine_pairs`` — corpus near-dup pairs above a cosine
-  threshold, LSH-blocked.
+- ``embedding_cosine_pairs`` — EXACT corpus near-dup pairs above a cosine
+  threshold: distributed blocked matrix product (hash-blocked block pairs,
+  one BLAS matmul per block pair inside a vectorized Arrow kernel).
+- ``embedding_cosine_pairs_lsh`` — the approximate 100 TB path: hyperplane
+  LSH buckets block the candidate pairs (ids only through the self-join),
+  exact cosine rerank after re-joining vectors by id.
 
 At 100 TB the corpus side is bucketed/partitioned by signature so a query
 touches one partition per probe; here the same plan shapes run at sandbox
@@ -18,6 +22,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,6 +110,35 @@ def hyperplane_signature(
     return out
 
 
+def hyperplane_signatures_vectorized(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+):
+    """Vectorized multi-table hyperplane LSH: returns a pandas_udf mapping an
+    embedding column to ``array<long>`` of ``n_tables`` signatures, computed
+    as ONE BLAS matmul per Arrow batch (vs n_tables*n_planes interpreted
+    aggregate passes per row for the Column-expression variant). Plane matrix
+    comes from a seeded numpy RandomState — deterministic on every worker at
+    any cluster size, no broadcast needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.RandomState(seed).standard_normal(
+        (dim, n_planes * n_tables)
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ planes) > 0
+        per_table = [
+            bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return sigs
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,27 +153,23 @@ def lsh_topk(
     """Approximate top-k: n_tables independent hyperplane signatures; a
     corpus vector is a candidate if it collides with the query in any table;
     candidates reranked by exact cosine. Output like brute_force_topk."""
-    def with_sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return df.select(
-            F.col(idc),
-            F.col(vc).alias(f"__{idc}_v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            hyperplane_signature(
-                                F.col(vc), dim, n_planes, seed=42 + t
-                            ).alias("sig"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("ts"),
-        ).select(idc, f"__{idc}_v", "ts.table", "ts.sig")
+    sig_udf = hyperplane_signatures_vectorized(dim, n_planes, n_tables, seed=42)
 
+    def with_sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sigged = df.select(
+            F.col(idc),
+            F.col(vc).cast("array<double>").alias(f"__{idc}_v"),
+            F.posexplode(sig_udf(F.col(vc).cast("array<double>"))).alias(
+                "table", "sig"
+            ),
+        )
+        return sigged.select(idc, f"__{idc}_v", "table", "sig")
+
+    # Small parquet inputs arrive as one split; the signature matmul is the
+    # dominant cost, so spread it before computing.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     qs = with_sigs(queries, query_id_col, vec_col)
-    cs = with_sigs(corpus, id_col, vec_col)
+    cs = with_sigs(corpus.repartition(par), id_col, vec_col)
     cands = (
         qs.join(cs, ["table", "sig"])
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -166,14 +197,135 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold (exact, pair-blocked by
-    id ordering). Output: (id_a, id_b, cos)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    """EXACT near-duplicate pairs by cosine >= threshold, computed as a
+    distributed blocked matrix product. Output: (id_a, id_b, cos), id_a < id_b.
+
+    Plan shape: vectors hash into ``n_blocks`` blocks; every unordered block
+    pair (i, j) becomes one task holding block i as side A and block j as
+    side B; a vectorized Arrow kernel computes the |A|x|B| cosine matrix with
+    one BLAS matmul and emits only the above-threshold entries. Work is the
+    unavoidable O(n^2/2) of an exact answer, but it distributes over
+    n_blocks*(n_blocks+1)/2 independent tasks and runs at numpy-matmul speed
+    instead of per-pair Catalyst expression evaluation; shuffle volume is
+    n*n_blocks vector copies (size n_blocks ~ n/block_size at scale).
+
+    For 100 TB corpora exact all-pairs is off the table regardless of plan —
+    use :func:`embedding_cosine_pairs_lsh` (hyperplane-bucket blocking +
+    exact rerank), the approximate scale path.
+    """
+    nb = n_blocks
+    blocked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("__blk"),
+    )
+    # Side A covers block pairs (h, j>=h); side B covers (i<h, h). The
+    # diagonal task (h, h) gets only side-A rows and self-joins in the kernel.
+    side0 = F.transform(
+        F.sequence(F.col("__blk"), F.lit(nb - 1)),
+        lambda j: F.struct(
+            F.col("__blk").alias("bi"), j.alias("bj"), F.lit(0).alias("side")
+        ),
+    )
+    side1 = F.when(
+        F.col("__blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__blk") - 1),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("__blk").alias("bj"), F.lit(1).alias("side")
+            ),
+        ),
+    ).otherwise(F.array())
+    tasks = blocked.select(
+        "id", "v", F.explode(F.concat(side0, side1)).alias("t")
+    ).select("id", "v", "t.bi", "t.bj", "t.side")
+
+    thr = float(threshold)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        diagonal = len(b) == 0
+        if diagonal:
+            b = a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        va = np.stack(a["v"].to_numpy())
+        vb = np.stack(b["v"].to_numpy())
+        va = va / np.linalg.norm(va, axis=1, keepdims=True)
+        vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+        sims = np.round(va @ vb.T, 6)
+        ia, ib = np.nonzero(sims >= thr)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        keep = ids_a != ids_b
+        lo = np.minimum(ids_a[keep], ids_b[keep])
+        hi = np.maximum(ids_a[keep], ids_b[keep])
+        cos = sims[ia, ib][keep]
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos})
+        if diagonal:
+            # self block: every pair appears twice (S is symmetric)
+            out = out.drop_duplicates(["id_a", "id_b"])
+        return out
+
+    return tasks.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="id_a long, id_b long, cos double"
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: hyperplane-LSH bucket blocking + exact
+    cosine rerank — the 100 TB path (recall < 1, tested vs the exact kernel).
+
+    The banded self-join carries ONLY (table, signature, id) — vectors are
+    re-joined by id for the exact verification, so no embedding payload rides
+    through the n_tables-way self-join shuffle. Output: (id_a, id_b, cos).
+
+    Recall is high in the near-duplicate regime (threshold >= ~0.9, small
+    angles); at wide-angle thresholds (<~0.7) hyperplane LSH cannot separate
+    candidates from noise — use the exact :func:`embedding_cosine_pairs`
+    blocked matmul there.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    ids_vecs = corpus.repartition(par).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sig_udf = hyperplane_signatures_vectorized(dim, n_planes, n_tables, seed=1042)
+    sigs = ids_vecs.select(
+        "id", F.posexplode(sig_udf(F.col("v"))).alias("table", "sig")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = ids_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = ids_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (
-        pairs.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),

@@ -39,6 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
+from differential_dataflow_spark.session import (
+    release_checkpoint,
+    tracked_local_checkpoint,
+)
 
 Logic = Callable[[DiffCollection], DiffCollection]
 
@@ -48,7 +52,13 @@ class FixpointNotReached(RuntimeError):
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # Tracked so _release actually frees the checkpoint blocks —
+    # DataFrame.unpersist() is a no-op on localCheckpoint RDDs.
+    return tracked_local_checkpoint(df, eager=True)
+
+
+def _release(df: DataFrame) -> None:
+    release_checkpoint(df)
 
 
 def iterate(
@@ -73,9 +83,9 @@ def iterate(
             .df
         )
         if delta.isEmpty():
-            current.unpersist()
+            _release(current)
             return DiffCollection(nxt)
-        current.unpersist()
+        _release(current)
         current = nxt
     if strict:
         raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
@@ -124,8 +134,8 @@ def semi_naive(
                 total = total.unionAll(p)
             result = _ckpt(total)
             for p in parts + deferred:
-                p.unpersist()
-            new.unpersist()
+                _release(p)
+            _release(new)
             return DiffCollection.from_df(result)
         parts.append(new)
         frontier = new
@@ -137,7 +147,7 @@ def semi_naive(
             # `new` is still the live frontier — defer its release.
             for p in parts:
                 if p is not new:
-                    p.unpersist()
+                    _release(p)
             deferred.append(new)
             parts = [merged]
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
@@ -177,16 +187,16 @@ def iterate_keyed_min(
             .select(*keys, F.col("__cand").alias(value))
         )
         if improved.isEmpty():
-            improved.unpersist()
+            _release(improved)
             if frontier is not best:
-                frontier.unpersist()
+                _release(frontier)
             return DiffCollection.from_df(best)
         prev_best, prev_frontier = best, frontier
         best = _ckpt(
             prev_best.join(improved.select(*keys), keys, "left_anti").union(improved)
         )
-        prev_best.unpersist()
+        _release(prev_best)
         if prev_frontier is not prev_best:
-            prev_frontier.unpersist()
+            _release(prev_frontier)
         frontier = improved
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")

@@ -124,7 +124,12 @@ def reduce_extremum(
         return DiffCollection(out.withColumn(DIFF, F.lit(1).cast("long")))
 
     # General path: change points = distinct (key, epoch); state at each
-    # change point = accumulation of updates with epoch <= point.
+    # change point = accumulation of updates with epoch <= point. A LEFT join
+    # from the change points keeps epochs where no value survives (the key's
+    # accumulation emptied) as NULL-extremum rows, so the lag-diff below emits
+    # the retraction of the previous extremum — the reference's reduce
+    # retracts prior output when a group vanishes
+    # (src/operators/reduce.rs:280-287).
     df = coll.df
     points = df.select(*keys, EPOCH).distinct()
     updates = df.select(
@@ -136,7 +141,7 @@ def reduce_extremum(
     cond = [F.col(k) == F.col(f"__u_{k}") for k in keys] + [
         F.col("__ue") <= F.col(EPOCH)
     ]
-    state = (
+    survivors = (
         points.join(updates, cond)
         .groupBy(*keys, EPOCH, "__val")
         .agg(F.sum("__ud").alias("__w"))
@@ -144,15 +149,17 @@ def reduce_extremum(
         .groupBy(*keys, EPOCH)
         .agg(agg("__val").alias(value))
     )
-    # Emit deltas between consecutive change points per key.
+    state = points.join(survivors, [*keys, EPOCH], "left")
+    # Emit deltas between consecutive change points per key. `value` is NULL
+    # at change points where the group is empty; eqNullSafe keeps runs of
+    # empty points silent while NULL→v and v→NULL transitions emit.
     w = Window.partitionBy(*keys).orderBy(EPOCH)
     with_prev = state.withColumn("__prev", F.lag(value).over(w))
-    additions = with_prev.filter(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col(value))
-    ).select(*keys, value, EPOCH, F.lit(1).cast("long").alias(DIFF))
-    retractions = with_prev.filter(
-        F.col("__prev").isNotNull() & (F.col("__prev") != F.col(value))
-    ).select(
+    changed = with_prev.filter(~F.col("__prev").eqNullSafe(F.col(value)))
+    additions = changed.filter(F.col(value).isNotNull()).select(
+        *keys, value, EPOCH, F.lit(1).cast("long").alias(DIFF)
+    )
+    retractions = changed.filter(F.col("__prev").isNotNull()).select(
         *keys,
         F.col("__prev").alias(value),
         F.col(EPOCH),
@@ -166,12 +173,31 @@ def top_k(
     keys: Sequence[str],
     order_by: Sequence[Column],
     k: int,
+    single_epoch: bool = True,
 ) -> DiffCollection:
     """First k distinct values per key in sort order, weight 1 each —
     the reference's top-k reduce idiom (src/operators/reduce.rs:55-60: keep
-    the first k of the sorted input). Single-epoch fast path; pure Catalyst
-    (consolidate + row_number window)."""
+    the first k of the sorted input).
+
+    ``single_epoch=True`` (default) is a pure-Catalyst fast path (consolidate
+    + row_number window) that is ONLY valid when all updates share one epoch
+    — on multi-epoch input it would stamp per-value min-epochs with no
+    retractions. For evolving collections pass ``single_epoch=False``, which
+    routes through the general pandas reduce kernel (full retraction deltas);
+    there ``order_by`` is ignored and values rank by the natural ascending
+    order of the value columns (the reference's sorted-input contract,
+    src/operators/reduce.rs:40-42).
+    """
     keys = list(keys)
+    if not single_epoch:
+        value_cols = [c for c in coll.payload_columns if c not in keys]
+        dtypes = dict(coll.df.dtypes)
+        out_schema = ", ".join(f"{c} {dtypes[c]}" for c in value_cols)
+
+        def first_k(key, sorted_input):
+            return [(v, 1) for v, _w in sorted_input[:k]]
+
+        return reduce(coll, keys, first_k, out_schema)
     value_cols = [c for c in coll.payload_columns if c not in keys]
     acc = (
         coll.df.groupBy(*keys, *value_cols)

@@ -717,6 +717,19 @@ def embedding_cosine_pairs_q(spark, sf_dir):
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("embedding_cosine_pairs_lsh")  # approximate — recall tested in pytest
+def embedding_cosine_pairs_lsh_q(spark, sf_dir):
+    """The 100 TB near-dup path: hyperplane-LSH bucket blocking (ids only
+    through the self-join) + exact cosine rerank (functions/similarity.py)."""
+    from differential_dataflow_spark.functions.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    return embedding_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
+
+
 @query("ann_lsh_topk")  # approximate — recall vs brute force tested in pytest
 def ann_lsh_topk(spark, sf_dir):
     from pyspark.sql import functions as FF

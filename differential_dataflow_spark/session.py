@@ -68,6 +68,47 @@ def get_spark(
     return spark
 
 
+def _persistent_entries(spark: SparkSession) -> list[tuple[int, object]]:
+    """(rdd_id, java_rdd) pairs currently pinned in the block manager."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    out = []
+    it = jmap.iterator()
+    while it.hasNext():
+        e = it.next()
+        out.append((e._1(), e._2()))
+    return out
+
+
+def tracked_local_checkpoint(df, eager: bool = True):
+    """``localCheckpoint`` that records the newly-persisted RDD(s) on the
+    returned DataFrame so :func:`release_checkpoint` can actually free them.
+
+    ``DataFrame.unpersist()`` is a no-op for localCheckpoint blocks — they are
+    RDD-level persists outside the cache manager — so fixpoint loops that
+    relied on it leaked one checkpoint RDD per round. Diffing the context's
+    persistent-RDD map around the checkpoint captures the real handle.
+    """
+    spark = df.sparkSession
+    before = {rid for rid, _ in _persistent_entries(spark)}
+    out = df.localCheckpoint(eager=eager)
+    out._ckpt_rdds = [
+        jrdd for rid, jrdd in _persistent_entries(spark) if rid not in before
+    ]
+    return out
+
+
+def release_checkpoint(df, blocking: bool = False) -> None:
+    """Free the block-manager storage of a tracked_local_checkpoint result
+    (no-op for DataFrames without a tracked handle)."""
+    for jrdd in getattr(df, "_ckpt_rdds", ()):
+        try:
+            jrdd.unpersist(blocking)
+        except Exception:
+            pass
+    if hasattr(df, "_ckpt_rdds"):
+        df._ckpt_rdds = []
+
+
 def release_all_cached(spark: SparkSession, gc: bool = False) -> int:
     """Blocking-unpersist every persisted RDD in the context.
 
@@ -75,7 +116,14 @@ def release_all_cached(spark: SparkSession, gc: bool = False) -> int:
     are RDD-level persists outside the cache manager, and derived DataFrames
     are no-ops entirely), so long sessions leak blocks per fixpoint round and
     later jobs degrade. Call between logical jobs / bench runs.
+
+    Order matters: ``clearCache()`` FIRST — it unpersists ``df.persist()``
+    entries AND drops them from the Catalyst cache manager. Unpersisting
+    their RDDs directly would leave the InMemoryRelation registered with a
+    dead storage level, and every later plan that matches it would recompute
+    per consumer without ever re-storing (observed: 3.6s query -> 41s).
     """
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     prdds = jsc.getPersistentRDDs()
     n = prdds.size()

@@ -47,10 +47,19 @@ class ExactlyOnceSink:
         if self.is_committed(batch_id):
             return  # replayed batch — exactly-once skip
         out_dir = str(self.root / "data" / f"batch_id={batch_id}")
-        # Per-partition lineage: rows per spark partition (Progress counts).
-        counts_df = df.groupBy(F.spark_partition_id().alias("partition")).count()
-        part_counts = {int(r["partition"]): int(r["count"]) for r in counts_df.collect()}
+        # Write FIRST, then derive the lineage counts from the written files:
+        # computing counts from `df` before the write would evaluate the
+        # micro-batch twice, and with a nondeterministic upstream plan
+        # (spark_partition_id depends on scheduling/AQE) the Progress counts
+        # could disagree with the data actually committed.
         df.write.mode("overwrite").parquet(out_dir)
+        written = df.sparkSession.read.parquet(out_dir)
+        counts_df = written.withColumn(
+            "partition", F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+        ).groupBy("partition").count()
+        part_counts = {
+            int(r["partition"]): int(r["count"]) for r in counts_df.collect()
+        }
         marker = {
             "query": self.query_name,
             "batch_id": batch_id,

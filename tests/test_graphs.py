@@ -135,6 +135,20 @@ def test_assign_identifiers_unique_and_deterministic(spark):
     }
 
 
+def test_assign_identifiers_crippled_hash_unique(spark):
+    # Mirror the reference's are_unique test (src/algorithms/identifiers.rs):
+    # cripple the hash to a tiny range so round r+1 retries collide with
+    # already-settled winners — ids must still come out unique.
+    records = DiffCollection.from_df(
+        spark.range(24).select(F.col("id").alias("k"))
+    )
+    crippled = lambda cols, r: F.abs(F.xxhash64(*cols, F.lit(r))) % 32  # noqa: E731
+    out = G.assign_identifiers(records, max_rounds=256, hash_fn=crippled).df.collect()
+    ids = [r.assigned_id for r in out]
+    assert len(ids) == 24 and len(set(ids)) == 24
+    assert all(0 <= i < 32 for i in ids)
+
+
 def test_prefix_sum(spark):
     df = spark.createDataFrame(
         [(i, i * 2) for i in range(10)], "ord long, val long"

@@ -59,6 +59,38 @@ def test_reduce_extremum_multi_epoch_general_path(spark):
     ]
 
 
+def test_reduce_extremum_retracts_vanished_key(spark):
+    # A key whose accumulation empties must retract its extremum — the
+    # reference's reduce retracts prior output when a group vanishes
+    # (src/operators/reduce.rs:280-287). Regression: the general path used to
+    # drop the change point entirely, leaving (1,5,0,+1) asserted forever.
+    coll = c(spark, [(1, 5, 0, 1), (1, 5, 1, -1)])
+    out = coll.reduce_min(["k"], "v")
+    assert out.updates() == [(1, 5, 0, 1), (1, 5, 1, -1)]
+    # ... and re-asserts when the key reappears later.
+    coll2 = c(spark, [(1, 5, 0, 1), (1, 5, 1, -1), (1, 7, 2, 1)])
+    out2 = coll2.reduce_min(["k"], "v")
+    assert out2.updates() == [(1, 5, 0, 1), (1, 5, 1, -1), (1, 7, 2, 1)]
+
+
+def test_top_k_multi_epoch_general_path(spark):
+    # single_epoch=False routes through the pandas reduce kernel: retractions
+    # when a later epoch changes the top-k set.
+    coll = c(
+        spark,
+        [(1, 10, 0, 1), (1, 20, 0, 1), (1, 5, 1, 1), (2, 9, 0, 1), (2, 9, 1, -1)],
+    )
+    out = coll.top_k(["k"], [F.col("v").asc()], k=2, single_epoch=False)
+    assert out.updates() == [
+        (1, 5, 1, 1),    # 5 enters the top-2 at epoch 1 ...
+        (1, 10, 0, 1),
+        (1, 20, 0, 1),
+        (1, 20, 1, -1),  # ... evicting 20
+        (2, 9, 0, 1),
+        (2, 9, 1, -1),   # key 2 vanishes entirely
+    ]
+
+
 def test_top_k(spark):
     coll = c(
         spark,
