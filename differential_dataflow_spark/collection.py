@@ -44,9 +44,19 @@ def _as_column(c: Column | str) -> Column:
 
 
 class DiffCollection:
-    """A weighted update-triple collection backed by a DataFrame."""
+    """A weighted update-triple collection backed by a DataFrame.
 
-    def __init__(self, df: DataFrame):
+    ``const_epoch`` is static metadata: when not None, every update in the
+    collection is known to carry this single epoch (the batch-query case —
+    the whole input loaded at time 0). Operators propagate it, and the
+    grouped operators (count/threshold/distinct/reduce extrema) use it to
+    take a plain hash-aggregate fast path instead of the incremental
+    sort-window machinery — the analogue of the reference's total-order
+    specializations being cheaper than the general lattice paths
+    (src/operators/count.rs:30, src/operators/threshold.rs:20).
+    """
+
+    def __init__(self, df: DataFrame, const_epoch: int | None = None):
         missing = [c for c in RESERVED if c not in df.columns]
         if missing:
             raise ValueError(
@@ -56,10 +66,15 @@ class DiffCollection:
         # Canonical column order: payload first, then (epoch, diff).
         payload = [c for c in df.columns if c not in RESERVED]
         self.df = df.select(*payload, EPOCH, DIFF)
+        self.const_epoch = const_epoch
         # Carry any tracked-checkpoint handle through the re-projection so
         # session.release_checkpoint(coll.df) still frees the blocks.
         if hasattr(df, "_ckpt_rdds"):
             self.df._ckpt_rdds = df._ckpt_rdds
+
+    def _same_epoch(self, df: DataFrame) -> "DiffCollection":
+        """Wrap a derived DataFrame that did not touch the epoch column."""
+        return DiffCollection(df, const_epoch=self.const_epoch)
 
     # ------------------------------------------------------------------ #
     # Construction
@@ -80,7 +95,7 @@ class DiffCollection:
         lifted = df.withColumn(EPOCH, e).withColumn(DIFF, d)
         if hasattr(df, "_ckpt_rdds"):
             lifted._ckpt_rdds = df._ckpt_rdds
-        return cls(lifted)
+        return cls(lifted, const_epoch=epoch if isinstance(epoch, int) else None)
 
     @classmethod
     def from_updates(
@@ -110,12 +125,12 @@ class DiffCollection:
         (reference ``map``, src/collection.rs:77-84)."""
         exprs = [_as_column(c) for c in cols]
         exprs += [_as_column(c).alias(name) for name, c in named.items()]
-        return DiffCollection(self.df.select(*exprs, F.col(EPOCH), F.col(DIFF)))
+        return self._same_epoch(self.df.select(*exprs, F.col(EPOCH), F.col(DIFF)))
 
     def filter(self, predicate: Column | str) -> "DiffCollection":
         """Keep records satisfying the predicate
         (reference ``filter``, src/collection.rs:163-168)."""
-        return DiffCollection(self.df.filter(predicate))
+        return self._same_epoch(self.df.filter(predicate))
 
     def flat_map(self, array_expr: Column, *field_aliases: str) -> "DiffCollection":
         """0..n outputs per record, each inheriting (epoch, diff)
@@ -135,7 +150,7 @@ class DiffCollection:
             out = exploded.select(
                 *[F.col(f"__elem.{f}").alias(f) for f in field_aliases], EPOCH, DIFF
             )
-        return DiffCollection(out)
+        return self._same_epoch(out)
 
     def concat(self, *others: "DiffCollection") -> "DiffCollection":
         """Multiset addition: union-all of update streams
@@ -143,12 +158,14 @@ class DiffCollection:
         df = self.df
         for o in others:
             df = df.unionByName(o.df)
-        return DiffCollection(df)
+        epochs = {self.const_epoch, *(o.const_epoch for o in others)}
+        const = epochs.pop() if len(epochs) == 1 else None
+        return DiffCollection(df, const_epoch=const)
 
     def negate(self) -> "DiffCollection":
         """Negate all diffs; set difference is ``a.concat(b.negate())``
         (reference ``negate``, src/collection.rs:627-631)."""
-        return DiffCollection(self.df.withColumn(DIFF, -F.col(DIFF)))
+        return self._same_epoch(self.df.withColumn(DIFF, -F.col(DIFF)))
 
     def explode_weights(
         self, weight_expr: Column, *payload: Column | str, **named: Column | str
@@ -164,7 +181,7 @@ class DiffCollection:
         """
         exprs = [_as_column(c) for c in payload]
         exprs += [_as_column(c).alias(n) for n, c in named.items()]
-        return DiffCollection(
+        return self._same_epoch(
             self.df.select(
                 *exprs,
                 F.col(EPOCH),
@@ -202,7 +219,7 @@ class DiffCollection:
             .agg(F.sum(DIFF).alias(DIFF))
             .filter(F.col(DIFF) != 0)
         )
-        return DiffCollection(out)
+        return self._same_epoch(out)
 
     def assert_empty(self) -> None:
         """Consolidate; raise if any update survives
@@ -256,7 +273,12 @@ class DiffCollection:
             F.greatest(F.col(f"l.{EPOCH}"), F.col(f"r.{EPOCH}")).alias(EPOCH),
             (F.col(f"l.{DIFF}") * F.col(f"r.{DIFF}")).alias(DIFF),
         )
-        return DiffCollection(joined)
+        const = (
+            max(self.const_epoch, other.const_epoch)
+            if self.const_epoch is not None and other.const_epoch is not None
+            else None
+        )
+        return DiffCollection(joined, const_epoch=const)
 
     def semijoin(
         self,
@@ -299,7 +321,25 @@ class DiffCollection:
         a per-key cumulative window — all JVM-side, whole-stage codegen'd.
         Zero counts are not represented (empty groups vanish, as in the
         reference where zero-weight updates are suppressed).
+
+        Single-epoch collections (const_epoch set) take a plain hash
+        aggregate — the window machinery only exists to order multi-epoch
+        histories.
         """
+        if self.const_epoch is not None:
+            keys = list(keys)
+            out = (
+                self.df.groupBy(*keys)
+                .agg(F.sum(DIFF).alias(alias))
+                .filter(F.col(alias) != 0)
+                .select(
+                    *keys,
+                    F.col(alias),
+                    F.lit(self.const_epoch).cast("long").alias(EPOCH),
+                    F.lit(1).cast("long").alias(DIFF),
+                )
+            )
+            return DiffCollection(out, const_epoch=self.const_epoch)
         return self._accumulate(keys, F.col("__cum"), alias)
 
     def sum_weights(self, keys: Sequence[str], alias: str = "sum") -> "DiffCollection":
@@ -322,8 +362,30 @@ class DiffCollection:
         the key with multiplicity ``weight_fn(total)`` (reference
         ``threshold``, src/operators/reduce.rs:104-140; incremental semantics
         of ``threshold_total``, src/operators/threshold.rs:20-195: emit the
-        *difference* of ``f(new)−f(old)`` per epoch)."""
+        *difference* of ``f(new)−f(old)`` per epoch).
+
+        Single-epoch fast path: one hash aggregate emitting
+        ``f(total) − f(0)`` directly (the general path's first change point).
+        """
         keys = list(keys)
+        if self.const_epoch is not None:
+            total = (
+                self.df.groupBy(*keys)
+                .agg(F.sum(DIFF).alias("__cum"))
+                .filter(F.col("__cum") != 0)
+            )
+            new_w = weight_fn(F.col("__cum")).cast("long")
+            zero_w = weight_fn(F.lit(0)).cast("long")
+            out = (
+                total.withColumn(DIFF, new_w - zero_w)
+                .filter(F.col(DIFF) != 0)
+                .select(
+                    *keys,
+                    F.lit(self.const_epoch).cast("long").alias(EPOCH),
+                    F.col(DIFF),
+                )
+            )
+            return DiffCollection(out, const_epoch=self.const_epoch)
         per_epoch = (
             self.df.groupBy(*keys, EPOCH)
             .agg(F.sum(DIFF).alias("__delta"))
@@ -409,12 +471,18 @@ class DiffCollection:
     def reduce_min(self, keys: Sequence[str], value: str) -> "DiffCollection":
         from differential_dataflow_spark.operators.reduce import reduce_extremum
 
-        return reduce_extremum(self, keys, value, minimum=True)
+        return reduce_extremum(
+            self, keys, value, minimum=True,
+            single_epoch=self.const_epoch is not None,
+        )
 
     def reduce_max(self, keys: Sequence[str], value: str) -> "DiffCollection":
         from differential_dataflow_spark.operators.reduce import reduce_extremum
 
-        return reduce_extremum(self, keys, value, minimum=False)
+        return reduce_extremum(
+            self, keys, value, minimum=False,
+            single_epoch=self.const_epoch is not None,
+        )
 
     def top_k(
         self,
@@ -506,5 +574,5 @@ class DiffCollection:
         """Explicit hash partitioning by key — the reference's Exchange pact
         (src/hashable.rs:1-26). Use to co-locate a reused key across stages."""
         if num is None:
-            return DiffCollection(self.df.repartition(*keys))
-        return DiffCollection(self.df.repartition(num, *keys))
+            return self._same_epoch(self.df.repartition(*keys))
+        return self._same_epoch(self.df.repartition(num, *keys))
