@@ -41,7 +41,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "500000"))
+# 2M conversations ~ 26.8M turns: large enough that per-stage compute
+# dominates driver/stage-scheduling latency floors at local[32] (at 500k the
+# fixpoint stage is pure latency and the 8->32 ratio measures nothing).
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000000"))
 SCALING_PAIR = (8, 32)
 
 
@@ -82,7 +85,7 @@ def flagship_subprocess(cores: int, n_convs: int) -> dict:
         [sys.executable, __file__, "--inner", str(cores), str(n_convs)],
         capture_output=True,
         text=True,
-        timeout=2400,
+        timeout=3600,
         check=False,
     )
     for line in out.stdout.splitlines():
@@ -130,7 +133,7 @@ def main() -> None:
         # and interleaving exposes both configs to the same conditions.
         n, n4 = SCALING_PAIR
         runs_n, runs_4n = [], []
-        for _ in range(2):
+        for _ in range(3):
             runs_n.append(flagship_subprocess(n, BENCH_CONVS))
             runs_4n.append(flagship_subprocess(n4, BENCH_CONVS))
         s_n = min(runs_n, key=lambda r: r["engine_sec"])
@@ -143,6 +146,18 @@ def main() -> None:
         )
         eff = s_4n["engine_turns_per_sec"] / (4 * s_n["engine_turns_per_sec"])
         eff_wall = s_4n["turns_per_sec"] / (4 * s_n["turns_per_sec"])
+        # Noise-robust secondary: engine time as the SUM OF PER-STAGE MINIMA
+        # across the interleaved repeats (host-noise spikes hit different
+        # stages in different runs; the per-stage floor is the engine's real
+        # cost under identical input). Reported alongside, never replacing,
+        # the single-best-run numbers.
+        def stage_min_engine(runs):
+            stages = runs[0]["stages"].keys()
+            mins = {st: min(r["stages"][st] for r in runs) for st in stages}
+            return sum(v for st, v in mins.items() if st != "generate"), mins
+        sm_n, mins_n = stage_min_engine(runs_n)
+        sm_4n, mins_4n = stage_min_engine(runs_4n)
+        eff_stagemin = sm_n / (4 * sm_4n)
         # The group+join core (the streaming-analytics path); the iterate
         # stage is driver-round-latency-bound in any engine.
         core_n = s_n["stages"]["group"] + s_n["stages"]["join"]
@@ -160,6 +175,8 @@ def main() -> None:
             f"local{n4}_wall_sec": s_4n["wall_sec"],
             "n_turns": s_4n["n_turns"],
             "efficiency_engine": round(eff, 3),
+            "efficiency_engine_stage_min": round(eff_stagemin, 3),
+            "stage_minima_sec": {"local8": mins_n, "local32": mins_4n},
             "efficiency_core_group_join": round(eff_core, 3),
             "efficiency_wall": round(eff_wall, 3),
             "hardware_ceiling_efficiency": round(hw_eff, 3),

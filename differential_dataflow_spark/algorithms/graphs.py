@@ -347,3 +347,170 @@ def strongly_connected_components(
     _release(remaining)
     _release(all_nodes)
     return DiffCollection.from_df(result)
+
+
+def bidirectional_shortest_path(
+    edges: DiffCollection,
+    source: int,
+    target: int,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """Shortest hop distance source -> target via BIDIRECTIONAL search —
+    the reference's bijkstra (src/algorithms/graphs/bijkstra.rs:24-60): two
+    frontiers evolve in one iterative scope, forward from the source along
+    edges and backward from the target along reversed edges; the answer is
+    the minimum of fwd_dist + bwd_dist over nodes seen by both.
+
+    Each round expands the SMALLER frontier (the reference alternates; the
+    smaller-side rule is the standard work-optimal variant) and terminates
+    once fwd_depth + bwd_depth >= best-known distance — no shorter path can
+    still appear. Returns a 1-row DataFrame (source, target, dist); empty if
+    unreachable within max_iters.
+    """
+    spark = edges.df.sparkSession
+    fwd_edges = _tckpt(edges.df.select("src", "dst").distinct())
+    bwd_edges = _tckpt(
+        fwd_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    fwd = _tckpt(
+        spark.createDataFrame([(source, 0)], "node long, fdist long")
+    )
+    bwd = _tckpt(
+        spark.createDataFrame([(target, 0)], "node long, bdist long")
+    )
+    f_frontier, b_frontier = fwd, bwd
+    f_depth = b_depth = 0
+    best = None
+
+    def meet(f_df, b_df):
+        m = (
+            f_df.join(b_df, "node")
+            .agg(F.min(F.col("fdist") + F.col("bdist")).alias("d"))
+            .collect()[0]["d"]
+        )
+        return m
+
+    best = meet(fwd, bwd)
+    for _ in range(max_iters):
+        if best is not None and f_depth + b_depth + 1 >= best:
+            break
+        expand_fwd = f_frontier.count() <= b_frontier.count()
+        if expand_fwd:
+            cand = (
+                f_frontier.withColumnRenamed("node", "src")
+                .join(fwd_edges, "src")
+                .select(F.col("dst").alias("node"), (F.col("fdist") + 1).alias("fdist"))
+                .groupBy("node")
+                .agg(F.min("fdist").alias("fdist"))
+            )
+            new = _tckpt(cand.join(fwd.select("node"), "node", "left_anti"))
+            prev = fwd
+            fwd = _tckpt(fwd.unionByName(new))
+            _release(prev)
+            if f_frontier is not prev:
+                _release(f_frontier)
+            f_frontier = new
+            f_depth += 1
+            m = meet(new, bwd)
+        else:
+            cand = (
+                b_frontier.withColumnRenamed("node", "src")
+                .join(bwd_edges, "src")
+                .select(F.col("dst").alias("node"), (F.col("bdist") + 1).alias("bdist"))
+                .groupBy("node")
+                .agg(F.min("bdist").alias("bdist"))
+            )
+            new = _tckpt(cand.join(bwd.select("node"), "node", "left_anti"))
+            prev = bwd
+            bwd = _tckpt(bwd.unionByName(new))
+            _release(prev)
+            if b_frontier is not prev:
+                _release(b_frontier)
+            b_frontier = new
+            b_depth += 1
+            m = meet(fwd, new)
+        if m is not None:
+            best = m if best is None else min(best, m)
+        if (expand_fwd and f_frontier.isEmpty()) or (
+            not expand_fwd and b_frontier.isEmpty()
+        ):
+            break
+    rows = [] if best is None else [(source, target, best)]
+    out = spark.createDataFrame(rows, "source long, target long, dist long")
+    for df in (fwd_edges, bwd_edges, fwd, bwd, f_frontier, b_frontier):
+        _release(df)
+    return out
+
+
+def sequential_coloring(
+    edges: DiffCollection, max_iters: int = 10_000
+) -> DiffCollection:
+    """Greedy sequential graph coloring in node-id order — the reference's
+    sequential.rs:44-60 fixpoint-with-order-gating: a node is colored once
+    every LOWER-id neighbor is colored, receiving the smallest positive color
+    none of them uses (mex). Deterministic and identical to the sequential
+    greedy algorithm; rounds = the longest monotone-increasing path.
+
+    Returns (node, color) for every node of the (symmetrized) graph.
+    """
+    sym = (
+        edges.df.select("src", "dst")
+        .unionByName(edges.df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pred = _tckpt(
+        sym.filter(F.col("dst") < F.col("src")).select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        )
+    )
+    nodes = _tckpt(
+        sym.select(F.col("src").alias("node")).distinct()
+    )
+    n_pred = pred.groupBy("node").agg(F.count("*").alias("__np"))
+    # Round 0: nodes with no lower-id neighbor take color 1.
+    colored = _tckpt(
+        nodes.join(pred.select("node").distinct(), "node", "left_anti")
+        .select("node", F.lit(1).cast("long").alias("color"))
+    )
+    remaining = _tckpt(nodes.join(colored.select("node"), "node", "left_anti"))
+    for _ in range(max_iters):
+        if remaining.isEmpty():
+            break
+        known = pred.join(
+            colored.select(F.col("node").alias("nbr"), "color"), "nbr"
+        )
+        stats = known.groupBy("node").agg(
+            F.count("*").alias("__nk"),
+            F.array_sort(F.collect_set("color")).alias("__cols"),
+        )
+        # mex: smallest positive int not among the lower neighbors' colors.
+        mex = F.element_at(
+            F.filter(
+                F.sequence(F.lit(1).cast("long"), F.size("__cols") + 1),
+                lambda x: ~F.array_contains(F.col("__cols"), x),
+            ),
+            1,
+        )
+        ready = (
+            remaining.join(stats, "node")
+            .join(n_pred, "node")
+            .filter(F.col("__nk") == F.col("__np"))
+            .select("node", mex.alias("color"))
+        )
+        new_colored = _tckpt(ready)
+        prev_c, prev_r = colored, remaining
+        colored = _tckpt(colored.unionByName(new_colored))
+        remaining = _tckpt(
+            prev_r.join(new_colored.select("node"), "node", "left_anti")
+        )
+        _release(prev_c)
+        _release(prev_r)
+        _release(new_colored)
+    else:
+        raise RuntimeError(f"coloring did not converge in {max_iters} rounds")
+    result = DiffCollection.from_df(colored)
+    _release(pred)
+    _release(nodes)
+    _release(remaining)
+    return result

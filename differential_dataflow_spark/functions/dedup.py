@@ -408,3 +408,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_exact_dedup(arrangement, delta: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: match a Δ-batch of NEW documents against the
+    arranged corpus trace, the operation a training-data pipeline runs per
+    ingest (reference pattern: new batch vs the other side's trace,
+    src/operators/join.rs:413-465, applied to dedup).
+
+    ``arrangement`` is an :class:`~differential_dataflow_spark.operators.
+    arrange.Arrangement` keyed by ``text_hash`` whose payload is the corpus
+    keeper id per distinct normalized text. Per batch:
+
+    1. hash the Δ docs (one projection);
+    2. point-lookup the batch's hashes in the trace (broadcast semijoin —
+       touches only matching keys, never the corpus scan);
+    3. duplicates resolve to the existing keeper, else the batch-internal
+       minimum id; previously-unseen representatives are sealed into the
+       trace so the NEXT batch sees them.
+
+    Returns ``(doc_id, keeper_id)`` for every Δ document (keeper_id ==
+    doc_id marks a new representative).
+    """
+    from differential_dataflow_spark.collection import DiffCollection
+
+    hashed = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(normalized(text_col)).alias("text_hash"),
+    ).localCheckpoint(eager=True)
+    batch_keepers = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("batch_keeper")
+    )
+    existing = (
+        arrangement.lookup(hashed.select("text_hash"))
+        if arrangement.batches
+        else None
+    )
+    if existing is not None:
+        existing = existing.select(
+            "text_hash", F.col("keeper_id").alias("corpus_keeper")
+        )
+        resolved = batch_keepers.join(existing, "text_hash", "left")
+    else:
+        resolved = batch_keepers.withColumn("corpus_keeper", F.lit(None).cast("long"))
+    resolved = resolved.select(
+        "text_hash",
+        F.coalesce("corpus_keeper", "batch_keeper").alias("keeper_id"),
+        F.col("corpus_keeper").isNull().alias("__new_rep"),
+    ).localCheckpoint(eager=True)
+    # Seal the new representatives so the next delta batch sees them.
+    new_reps = resolved.filter(F.col("__new_rep")).select("text_hash", "keeper_id")
+    arrangement.insert_batch(DiffCollection.from_df(new_reps, epoch=len(arrangement.batches)))
+    return hashed.join(resolved.select("text_hash", "keeper_id"), "text_hash").select(
+        "doc_id", "keeper_id"
+    )

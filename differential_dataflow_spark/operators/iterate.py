@@ -24,8 +24,9 @@ Engines:
   (reachability / transitive closure: README.md:22-31). Only the *frontier*
   (newly derived facts) is expanded each round — the differential behavior of
   the reference's iterate, where only changed updates flow — so total work is
-  O(Σ|new facts|). Internally plain column-pruned DataFrames + ``left_anti``
-  dedup (weight bookkeeping is unnecessary for distinct sets).
+  O(Σ|new facts|). Internally plain column-pruned DataFrames; dedup is one
+  ``left_anti`` against the checkpointed accumulated total per round (weight
+  bookkeeping is unnecessary for distinct sets).
 - ``iterate_keyed_min`` — BFS/label-propagation shape
   (src/algorithms/graphs/bfs.rs:36-49): per-key minimum refined per round,
   expanding only improved keys.
@@ -96,6 +97,7 @@ def semi_naive(
     roots: DiffCollection,
     expand: Logic,
     max_iters: int = 10_000,
+    broadcast_total: bool = True,
 ) -> DiffCollection:
     """Monotone fixpoint: total = roots ∪ expand(roots) ∪ expand²(...) as a
     *distinct* collection, computed by expanding only the per-round frontier.
@@ -107,49 +109,49 @@ def semi_naive(
     input (per-epoch incremental iteration is the streaming engine's job).
     """
     key = roots.payload_columns
-    first = _ckpt(roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key))
-    # The total is kept as a list of per-round checkpointed frontier parts.
-    # Dedup is a CHAIN of per-part left_anti joins, not an anti-join against
-    # their union: a lazy Union of checkpointed parts trips Catalyst's
-    # constraint rewriting (UnionBase.rewriteConstraints "key not found"),
-    # and chained anti-joins keep the candidate side partitioned while each
-    # small part can broadcast. Parts are merged every `compact_every`
-    # rounds to bound plan depth (the LSM merge of the reference's spine).
-    compact_every = 16
-    parts: list[DataFrame] = [first]
-    deferred: list[DataFrame] = []
-    frontier = first
-    for _ in range(max_iters):
+    total = _ckpt(roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key))
+    # Loop shape (each round, 2 shuffles + 1 broadcast build):
+    #   candidates = expand(frontier)            -- frontier broadcast-joined
+    #   new        = (candidates ANTI total) DISTINCT   -- then checkpoint
+    #   total      = checkpoint(total UNION new)
+    # The anti-join runs against ONE checkpointed accumulated total, not a
+    # chain of per-round parts: chained anti-joins rebuild a broadcast hash
+    # relation per part per round (O(rounds^2) serial driver work — measured
+    # 1.3s/round even for empty-frontier tail rounds). The single total is a
+    # fresh LogicalRDD each round, which also avoids Catalyst's
+    # UnionBase.rewriteConstraints bug on lazy unions of checkpoints.
+    # Dedup AFTER the anti-join: the anti-join is map-side (broadcast), so
+    # the distinct's shuffle only carries genuinely-new facts (~6x fewer rows
+    # at the frontier peak than deduping the raw expansion).
+    # A checkpointed LogicalRDD carries no size statistics, so without the
+    # explicit hint Catalyst plans the anti-join as a full shuffle of the
+    # candidate expansion every round. ``broadcast_total=True`` (default)
+    # pins the map-side plan — right whenever the reachable set fits an
+    # executor (keys only; 10^8 longs ~ 800MB is the practical ceiling).
+    # Pass False at larger scale to fall back to shuffle anti-joins.
+    maybe_b = F.broadcast if broadcast_total else (lambda df: df)
+    import os as _os
+    import time as _time
+    _debug = bool(_os.environ.get("DD_SPARK_ITER_DEBUG"))
+    frontier = total
+    for _round in range(max_iters):
+        _t0 = _time.time()
         frontier_coll = DiffCollection.from_df(frontier)
-        cand = expand(frontier_coll).df.select(*key).distinct()
-        for p in parts:
-            cand = cand.join(p, key, "left_anti")
-        new = _ckpt(cand)
+        cand = expand(frontier_coll).df.select(*key)
+        new = _ckpt(cand.join(maybe_b(total), key, "left_anti").distinct())
+        if _debug:
+            print(f"semi_naive round {_round}: {_time.time() - _t0:.2f}s", flush=True)
         if new.isEmpty():
-            # Materialize the result as one fresh checkpoint, then release
-            # every per-round block — leaked checkpoint blocks degrade the
-            # whole session (observed 3x slowdowns on later jobs).
-            total = parts[0]
-            for p in parts[1:]:
-                total = total.unionAll(p)
-            result = _ckpt(total)
-            for p in parts + deferred:
-                _release(p)
             _release(new)
-            return DiffCollection.from_df(result)
-        parts.append(new)
+            if frontier is not total:
+                _release(frontier)
+            return DiffCollection.from_df(total)
+        prev_total, prev_frontier = total, frontier
+        total = _ckpt(total.unionAll(new))
+        _release(prev_total)
+        if prev_frontier is not prev_total:
+            _release(prev_frontier)
         frontier = new
-        if len(parts) >= compact_every:
-            merged = parts[0]
-            for p in parts[1:]:
-                merged = merged.unionAll(p)
-            merged = _ckpt(merged)
-            # `new` is still the live frontier — defer its release.
-            for p in parts:
-                if p is not new:
-                    _release(p)
-            deferred.append(new)
-            parts = [merged]
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
 
 

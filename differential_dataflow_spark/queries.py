@@ -321,6 +321,41 @@ def dd_count_incremental(spark, sf_dir):
 
 
 @query(
+    "dd_trace_lookup",
+    """SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS diff
+       FROM orders
+       WHERE o_custkey < 50 AND year(o_orderdate) <= 1995""",
+)
+def dd_trace_lookup(spark, sf_dir):
+    """Arranged::lookup point queries (operators/arrange.py; reference
+    src/operators/arrange/arrangement.rs:262-421): orders arranged by
+    custkey with epoch = order year, then the accumulated multiset for 50
+    keys AT epoch 1995 — a broadcast semijoin against the key-partitioned
+    trace, not a scan-and-filter of raw history."""
+    import shutil
+    import uuid
+
+    from differential_dataflow_spark.operators.arrange import Arrangement
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = DiffCollection.from_df(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        epoch=(F.year("o_orderdate") - 1992).cast("long"),
+    ).map(F.col("o_custkey"), F.col("o_orderkey"))
+    root = f"/tmp/dd_trace_lookup-{uuid.uuid4().hex[:8]}"
+    try:
+        arr = Arrangement(spark, root, key=["o_custkey"])
+        arr.insert_batch(updates)
+        keys = spark.range(0, 50).select(F.col("id").alias("o_custkey"))
+        out = arr.lookup(keys, at=1995 - 1992)
+        # Materialize before the trace dir is deleted.
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "dd_count_skew_blocked",
     """WITH per AS (
          SELECT event_type,
@@ -697,6 +732,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_incremental",
+    r"""WITH t0 AS (
+         SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents WHERE doc_id % 2 = 0
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+       ), t1 AS (
+         SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+       )
+       SELECT keeper_id, n_copies, CAST(0 AS BIGINT) AS epoch,
+              CAST(1 AS BIGINT) AS diff
+       FROM t0
+       UNION ALL
+       SELECT keeper_id, n_copies, 1, 1 FROM
+         (SELECT * FROM t1 EXCEPT ALL SELECT * FROM t0)
+       UNION ALL
+       SELECT keeper_id, n_copies, 1, -1 FROM
+         (SELECT * FROM t0 EXCEPT ALL SELECT * FROM t1)""",
+)
+def dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup: corpus (even doc ids) arrives at epoch 0, the
+    Δ-batch (odd ids) at epoch 1; output is the dedup table's UPDATE STREAM —
+    epoch-1 rows retract/assert exactly the entries the new batch changed
+    (the daily-ingest operation of a training-data pipeline, built from the
+    engine's incremental count + reduce_min + differential join). The oracle
+    recomputes both snapshots and diffs them."""
+    from differential_dataflow_spark.functions.dedup import normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    coll = DiffCollection.from_df(
+        docs.select("doc_id", "text"),
+        epoch=(F.col("doc_id") % 2).cast("long"),
+    ).map(F.col("doc_id"), text_hash=F.xxhash64(normalized("text")))
+    counts = coll.map(F.col("text_hash")).count(["text_hash"], alias="n_copies")
+    keepers = coll.reduce_min(["text_hash"], "doc_id").map(
+        F.col("text_hash"), keeper_id=F.col("doc_id")
+    )
+    joined = keepers.join(counts, on=["text_hash"])
+    return joined.map(F.col("keeper_id"), F.col("n_copies")).consolidate().df
+
+
 @query("dedup_minhash_lsh")  # approximate — recall vs exact tested in pytest
 def dedup_minhash_lsh(spark, sf_dir):
     from differential_dataflow_spark.functions.dedup import minhash_lsh_pairs
@@ -981,6 +1059,103 @@ def tpch_q7(spark, sf_dir):
         .count(["cust_nation", "supp_nation"], alias="volume_cents")
         .consolidate_final()
         .drop(DIFF)
+    )
+
+
+@query(
+    "tpch_q8",
+    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+              CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                   THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS nation_cents,
+              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       JOIN region r ON cn.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+         AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY year(o.o_orderdate)""",
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share (tpchlike/src/queries/query08.rs): revenue
+    share of NATION_1 suppliers among AMERICA-region customers' ECONOMY-part
+    orders by year. Plan: region/nation/part filtered FIRST (the reference
+    hand-pushes these), customers semijoined to the region, dimensions
+    broadcast; the share's numerator rides as a second weighted count (the
+    reference packs numerator+denominator into one tuple diff,
+    query08.rs — here: two explode_weights counts joined on year)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    cn = DiffCollection.from_df(
+        nation.join(
+            F.broadcast(region.select(F.col("r_regionkey").alias("n_regionkey"))),
+            "n_regionkey",
+            "left_semi",
+        )
+    ).map(c_nation=F.col("n_nationkey"))
+    cust = (
+        _c(spark, sf_dir, "customer")
+        .map(o_custkey=F.col("c_custkey"), c_nation=F.col("c_nationkey"))
+        .semijoin(cn, on=["c_nation"], broadcast_other=True)
+        .map(F.col("o_custkey"))
+    )
+    orders = (
+        _c(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .map(
+            F.col("o_custkey"),
+            l_orderkey=F.col("o_orderkey"),
+            o_year=F.year("o_orderdate").cast("long"),
+        )
+        .semijoin(cust, on=["o_custkey"], broadcast_other=True)
+        .map(F.col("l_orderkey"), F.col("o_year"))
+    )
+    part = (
+        _c(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .map(l_partkey=F.col("p_partkey"))
+    )
+    supp_nation = DiffCollection.from_df(nation).map(
+        s_nation=F.col("n_nationkey"), supp_nation=F.col("n_name")
+    )
+    supp = (
+        _c(spark, sf_dir, "supplier")
+        .map(l_suppkey=F.col("s_suppkey"), s_nation=F.col("s_nationkey"))
+        .join(supp_nation, on=["s_nation"], broadcast_other=True)
+        .map(F.col("l_suppkey"), F.col("supp_nation"))
+    )
+    li = (
+        _c(spark, sf_dir, "lineitem")
+        .map(
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
+        )
+        .semijoin(part, on=["l_partkey"], broadcast_other=True)
+        .join(supp, on=["l_suppkey"], broadcast_other=True)
+        .join(orders, on=["l_orderkey"], broadcast_other=True)
+    )
+    total = li.explode_weights(F.col("rev"), F.col("o_year")).count(
+        ["o_year"], alias="total_cents"
+    )
+    nation_rev = li.explode_weights(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(0),
+        F.col("o_year"),
+    ).count(["o_year"], alias="nation_cents")
+    out = nation_rev.join(total, on=["o_year"])
+    return out.consolidate_final().drop(DIFF).select(
+        "o_year", "nation_cents", "total_cents"
     )
 
 
@@ -1448,6 +1623,45 @@ def graph_kcore(spark, sf_dir):
 
     out = k_core(_event_edges(spark, sf_dir), k=30)
     return out.df.select("src", "dst")
+
+
+@query(
+    "graph_bidirectional_sp",
+    """WITH RECURSIVE e AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       ), reach(node, dist) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION
+         SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+         WHERE r.dist < 60
+       )
+       SELECT CAST(0 AS BIGINT) AS source, CAST(97 AS BIGINT) AS target,
+              min(dist) AS dist
+       FROM reach WHERE node = 97""",
+)
+def graph_bidirectional_sp(spark, sf_dir):
+    """Bidirectional shortest path (src/algorithms/graphs/bijkstra.rs:24-60):
+    two frontiers, smaller side expands, stop when depths cover the best
+    meeting distance. Oracle: recursive-CTE BFS from the source."""
+    from differential_dataflow_spark.algorithms.graphs import (
+        bidirectional_shortest_path,
+    )
+
+    return bidirectional_shortest_path(
+        _event_edges(spark, sf_dir), source=0, target=97
+    )
+
+
+@query("graph_sequential_coloring")  # order-gated greedy — pytest oracle
+def graph_sequential_coloring(spark, sf_dir):
+    """Sequential (id-order) greedy coloring
+    (src/algorithms/graphs/sequential.rs:44-60); exact greedy equivalence and
+    edge-validity proven against a python oracle in pytest."""
+    from differential_dataflow_spark.algorithms.graphs import sequential_coloring
+
+    out = sequential_coloring(_event_edges(spark, sf_dir))
+    return out.df.select("node", "color")
 
 
 # --------------------------------------------------------------------------- #

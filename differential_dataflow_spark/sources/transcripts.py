@@ -38,12 +38,16 @@ def generate_transcripts(
     over conversations, then `explode(sequence(...))` for turn_idx — all
     JVM-side, scales linearly with cluster size.
     """
-    n_hot = max(int(n_convs * hot_fraction), 1)
+    # Hot conversations are SCATTERED (every k-th id), not clustered at the
+    # low ids: clustering put every hot conv in the first range partition,
+    # which made one generate/stage task carry ~10x the rows of the others
+    # and the skew propagated into every downstream stage's input files.
+    hot_stride = max(int(1 / hot_fraction), 1)
     convs = spark.range(0, n_convs, 1, num_partitions or spark.sparkContext.defaultParallelism)
     convs = convs.select(
         F.col("id").alias("conv_no"),
         F.format_string("c%06d", F.col("id")).alias("conv_id"),
-        F.when(F.col("id") < n_hot, F.lit(hot_multiplier * avg_turns))
+        F.when(F.col("id") % hot_stride == 0, F.lit(hot_multiplier * avg_turns))
         .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(seed)) % (avg_turns * 2)).cast("int") + 1)
         .alias("n_turns"),
     )

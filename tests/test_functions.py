@@ -156,3 +156,44 @@ def test_multimodal_plumbing(spark):
     # resize targets preserve aspect and bound the long side
     rs = resize_metadata(media, max_side=32).collect()
     assert all(max(r.target_w, r.target_h) <= 32 for r in rs)
+
+
+def test_embedding_cosine_pairs_lsh_recall_neardup(spark):
+    # Clustered synthetic vectors: 20 clusters of 4 near-identical members
+    # (cos > 0.95 within a cluster) plus noise vectors. The LSH-blocked pairs
+    # path must recover nearly all intra-cluster pairs found by the exact
+    # blocked-matmul kernel at threshold 0.9.
+    import numpy as np
+
+    from differential_dataflow_spark.functions.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rs = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = rs.standard_normal(32)
+        for _ in range(4):
+            v = center + 0.05 * rs.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):
+        rows.append((vid, [float(x) for x in rs.standard_normal(32)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(df, threshold=0.9, n_blocks=4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            df, threshold=0.9, dim=32, n_planes=16, n_tables=8
+        ).collect()
+    }
+    assert len(exact) >= 100  # the clusters really are near-dups
+    assert approx <= exact  # exact rerank: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.2f}"

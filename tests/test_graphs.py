@@ -218,3 +218,68 @@ def test_scc_random_graph(spark):
     }
     want = set(_py_scc(pairs).items())
     assert got == want
+
+
+def test_bidirectional_shortest_path(spark):
+    # Random directed graph; python BFS oracle.
+    import random
+    from collections import deque
+
+    rng = random.Random(13)
+    n = 80
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(240)})
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def bfs(src, dst):
+        seen, q = {src: 0}, deque([src])
+        while q:
+            u = q.popleft()
+            if u == dst:
+                return seen[u]
+            for v in adj.get(u, []):
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        return None
+
+    coll = DiffCollection.from_df(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    for src, dst in [(0, 7), (1, 33), (5, 5), (2, 61)]:
+        want = bfs(src, dst)
+        got_rows = G.bidirectional_shortest_path(coll, src, dst).collect()
+        got = got_rows[0].dist if got_rows else None
+        assert got == want, f"{src}->{dst}: got {got} want {want}"
+
+
+def test_sequential_coloring_matches_greedy(spark):
+    # Greedy-in-id-order python oracle (the exact semantics of the reference's
+    # order-gated fixpoint, src/algorithms/graphs/sequential.rs:44-60).
+    import random
+
+    rng = random.Random(29)
+    n = 60
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    edges = [(s, d) for (s, d) in edges if s != d]
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    want = {}
+    for node in sorted(nbrs):
+        used = {want[m] for m in nbrs[node] if m in want}
+        c = 1
+        while c in used:
+            c += 1
+        want[node] = c
+
+    coll = DiffCollection.from_df(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    got = {r.node: r.color for r in G.sequential_coloring(coll).df.collect()}
+    assert got == want
+    # validity: no edge is monochromatic
+    for s, d in edges:
+        assert got[s] != got[d]
