@@ -41,15 +41,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 2M conversations ~ 26.8M turns: large enough that per-stage compute
+# 4M conversations ~ 53.6M turns: large enough that per-stage compute
 # dominates driver/stage-scheduling latency floors at local[32] (at 500k the
 # fixpoint stage is pure latency and the 8->32 ratio measures nothing).
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000000"))
 SCALING_PAIR = (8, 32)
 
 
 def _calibrate(spark, cores: int) -> float:
-    """Pure-compute throughput (rows/sec) — the hardware's scaling ceiling."""
+    """Pure-compute throughput (rows/sec) — the hardware's COMPUTE scaling
+    ceiling (this VM: ~2.1-2.8x from 8 to 32 threads)."""
     from pyspark.sql import functions as F
 
     n = 4_000_000_000
@@ -64,6 +65,32 @@ def _calibrate(spark, cores: int) -> float:
     return n / best
 
 
+def _calibrate_shuffle(spark, cores: int) -> float:
+    """Minimal-shuffle throughput (rows/sec) — the hardware's SHUFFLE/memory
+    scaling ceiling: one full exchange of longs plus a hash aggregate, the
+    atom every incremental operator is built from. On a multi-executor
+    cluster shuffle bandwidth scales with machine count (every node brings
+    its own NICs/disks); on this single box all threads share one memory bus,
+    so this ceiling — not the compute ceiling — bounds any shuffle-bound
+    stage's 8->32 ratio."""
+    from pyspark.sql import functions as F
+
+    n = 200_000_000
+    df = (
+        spark.range(0, n, 1, cores * 4)
+        .select(F.pmod(F.xxhash64("id"), F.lit(50_000_000)).alias("k"))
+        .repartition(cores * 2, "k")
+        .groupBy("k")
+        .agg(F.count("*"))
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.count()
+        best = min(best, time.time() - t0)
+    return n / best
+
+
 def run_inner(cores: int, n_convs: int) -> None:
     from differential_dataflow_spark.flagship import flagship_pipeline
     from differential_dataflow_spark.session import get_spark
@@ -72,10 +99,12 @@ def run_inner(cores: int, n_convs: int) -> None:
         app_name=f"flagship-{cores}", cores=cores, shuffle_partitions=2 * cores
     )
     calib = _calibrate(spark, cores)
+    calib_sh = _calibrate_shuffle(spark, cores)
     # Warm the JVM/codegen (the fixpoint loop compiles ~10 distinct plans).
     flagship_pipeline(spark, n_convs=max(n_convs // 20, 1000))
     stats = flagship_pipeline(spark, n_convs=n_convs)
     stats["calibration_rows_per_sec"] = round(calib)
+    stats["calibration_shuffle_rows_per_sec"] = round(calib_sh)
     print("INNER_JSON:" + json.dumps(stats))
     spark.stop()
 
@@ -138,12 +167,9 @@ def main() -> None:
             runs_4n.append(flagship_subprocess(n4, BENCH_CONVS))
         s_n = min(runs_n, key=lambda r: r["engine_sec"])
         s_4n = min(runs_4n, key=lambda r: r["engine_sec"])
-        s_n["calibration_rows_per_sec"] = max(
-            r["calibration_rows_per_sec"] for r in runs_n
-        )
-        s_4n["calibration_rows_per_sec"] = max(
-            r["calibration_rows_per_sec"] for r in runs_4n
-        )
+        for key_ in ("calibration_rows_per_sec", "calibration_shuffle_rows_per_sec"):
+            s_n[key_] = max(r[key_] for r in runs_n)
+            s_4n[key_] = max(r[key_] for r in runs_4n)
         eff = s_4n["engine_turns_per_sec"] / (4 * s_n["engine_turns_per_sec"])
         eff_wall = s_4n["turns_per_sec"] / (4 * s_n["turns_per_sec"])
         # Noise-robust secondary: engine time as the SUM OF PER-STAGE MINIMA
@@ -166,6 +192,9 @@ def main() -> None:
         hw_eff = s_4n["calibration_rows_per_sec"] / (
             4 * s_n["calibration_rows_per_sec"]
         )
+        hw_eff_shuffle = s_4n["calibration_shuffle_rows_per_sec"] / (
+            4 * s_n["calibration_shuffle_rows_per_sec"]
+        )
         result["value"] = s_4n["engine_turns_per_sec"]
         result["flagship"] = s_4n
         result["scaling"] = {
@@ -180,11 +209,17 @@ def main() -> None:
             "efficiency_core_group_join": round(eff_core, 3),
             "efficiency_wall": round(eff_wall, 3),
             "hardware_ceiling_efficiency": round(hw_eff, 3),
+            "shuffle_ceiling_efficiency": round(hw_eff_shuffle, 3),
             "efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
+            "efficiency_vs_shuffle_ceiling": (
+                round(eff_stagemin / hw_eff_shuffle, 3) if hw_eff_shuffle else None
+            ),
         }
         result["calibration"] = {
             f"local{n}_rows_per_sec": s_n["calibration_rows_per_sec"],
             f"local{n4}_rows_per_sec": s_4n["calibration_rows_per_sec"],
+            f"local{n}_shuffle_rows_per_sec": s_n["calibration_shuffle_rows_per_sec"],
+            f"local{n4}_shuffle_rows_per_sec": s_4n["calibration_shuffle_rows_per_sec"],
         }
 
     print(json.dumps(result))

@@ -189,6 +189,16 @@ class DiffCollection:
             )
         )
 
+    def join_function(
+        self, weight_expr: Column, epoch_expr: Column, *payload, **named
+    ) -> "DiffCollection":
+        """``explode`` that also joins each update's time with a derived time
+        (reference ``join_function``, src/collection.rs:300-311): output diff
+        = ``weight_expr * diff``, output epoch = ``max(epoch, epoch_expr)``."""
+        return self.explode_weights(weight_expr, *payload, **named).delay(
+            epoch_expr
+        )
+
     def delay(self, new_epoch: Column) -> "DiffCollection":
         """Advance update timestamps with a monotonic function
         (reference ``delay``, src/collection.rs:405-421)."""

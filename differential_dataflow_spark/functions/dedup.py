@@ -1,21 +1,30 @@
 """Deduplication suite for document corpora.
 
-Five strategies, each scale-minded:
+Batch strategies, each scale-minded:
 
 - ``exact_dedup`` — hash-groupBy on normalized text; one shuffle, map-side
   partial agg. The 100 TB workhorse.
-- ``ngram_jaccard_pairs`` — exact n-gram-shingle Jaccard similarity pairs.
-  Banded by shingle-match blocking (pairs must share at least one shingle) so
-  it avoids the full cross product; still O(candidate pairs) — the exact
-  verifier for the approximate methods.
-- ``minhash_lsh_pairs`` — shingle → k minhashes → b bands; pairs sharing a
-  band bucket are candidates, verified with exact Jaccard. Scales: the only
-  shuffles are by band-bucket key and candidate pair.
-- ``simhash_pairs`` — 64-bit simhash of token hashes; near-dups = small
-  Hamming distance, blocked by 4x16-bit chunk equality (a pair within
-  Hamming distance 3 must share at least one of 4 chunks).
-- ``embedding_cosine_pairs`` — cosine near-dup over embedding vectors
-  (see similarity.py for the ANN machinery).
+- ``ngram_jaccard_pairs`` — exact Jaccard pairs over hashed n-gram shingles.
+  Blocking by shared RARE shingle (document-frequency cap = the skew control:
+  a stop-phrase shingle shared by 1M docs would otherwise contribute 10^12
+  candidate pairs), a count-only Jaccard upper bound prunes implausible
+  pairs, and the survivors verify exactly via id-rejoined shingle arrays —
+  every emitted score is exact.
+- ``minhash_lsh_pairs`` — k minhashes as ONE hash-aggregate pass → b bands;
+  the banded self-join carries only (band, bucket, id); candidates verify
+  with exact Jaccard after an id-rejoin. No document payload rides the
+  band-explosion shuffle.
+- ``simhash_pairs`` — 64-bit simhash as one 64-vote hash aggregate; near-dups
+  = small Hamming distance, blocked by 4x16-bit chunk equality (pigeonhole:
+  distance <= 3 over 4 chunks implies an identical chunk).
+- ``embedding_cosine_pairs`` / ``..._lsh`` — cosine near-dup over embedding
+  vectors (see similarity.py: exact blocked matmul / LSH-bucketed scale path).
+
+Incremental:
+
+- ``incremental_exact_dedup`` — Δ-batch of NEW documents matched against the
+  arranged corpus keeper trace (operators/arrange.py), the per-ingest
+  operation of a training-data pipeline.
 
 All hashing uses xxhash64 with literal seeds — deterministic across runs and
 cluster sizes.

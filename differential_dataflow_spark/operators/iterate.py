@@ -97,7 +97,7 @@ def semi_naive(
     roots: DiffCollection,
     expand: Logic,
     max_iters: int = 10_000,
-    broadcast_total: bool = True,
+    broadcast_total: bool = False,
 ) -> DiffCollection:
     """Monotone fixpoint: total = roots ∪ expand(roots) ∪ expand²(...) as a
     *distinct* collection, computed by expanding only the per-round frontier.
@@ -107,39 +107,74 @@ def semi_naive(
     discarded with a ``left_anti`` join against the accumulated total. The
     result collapses epochs: it is the fixpoint of the final accumulated
     input (per-epoch incremental iteration is the streaming engine's job).
+
+    Default loop shape — SHUFFLE-ALIGNED, checkpointed every round:
+
+      new    = checkpoint((expand(frontier) ANTI total) DISTINCT)
+      total' = checkpoint(total UNION new);  emptiness = count unchanged
+
+    Every round's results are locally checkpointed, so plans stay O(1) —
+    without this the union/anti lineage doubles per round and Catalyst
+    analysis explodes exponentially (measured: 0.8s -> 18.7s by round 4 on a
+    20-node graph under persist-only lineage). The anti-join is a SHUFFLE
+    join of keys: both sides exchange (the total is key-columns only — tiny
+    relative to the data), every byte of which moves in parallel. The
+    ``broadcast_total=True`` variant instead hashes the whole accumulated
+    total into a broadcast relation every round — a single-threaded build
+    that flattens 8->32 scaling at multi-million-node totals and dies when
+    the closed set outgrows one executor; use it only for small closed sets.
     """
-    key = roots.payload_columns
-    total = _ckpt(roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key))
-    # Loop shape (each round, 2 shuffles + 1 broadcast build):
-    #   candidates = expand(frontier)            -- frontier broadcast-joined
-    #   new        = (candidates ANTI total) DISTINCT   -- then checkpoint
-    #   total      = checkpoint(total UNION new)
-    # The anti-join runs against ONE checkpointed accumulated total, not a
-    # chain of per-round parts: chained anti-joins rebuild a broadcast hash
-    # relation per part per round (O(rounds^2) serial driver work — measured
-    # 1.3s/round even for empty-frontier tail rounds). The single total is a
-    # fresh LogicalRDD each round, which also avoids Catalyst's
-    # UnionBase.rewriteConstraints bug on lazy unions of checkpoints.
-    # Dedup AFTER the anti-join: the anti-join is map-side (broadcast), so
-    # the distinct's shuffle only carries genuinely-new facts (~6x fewer rows
-    # at the frontier peak than deduping the raw expansion).
-    # A checkpointed LogicalRDD carries no size statistics, so without the
-    # explicit hint Catalyst plans the anti-join as a full shuffle of the
-    # candidate expansion every round. ``broadcast_total=True`` (default)
-    # pins the map-side plan — right whenever the reachable set fits an
-    # executor (keys only; 10^8 longs ~ 800MB is the practical ceiling).
-    # Pass False at larger scale to fall back to shuffle anti-joins.
-    maybe_b = F.broadcast if broadcast_total else (lambda df: df)
     import os as _os
     import time as _time
+
     _debug = bool(_os.environ.get("DD_SPARK_ITER_DEBUG"))
+    key = roots.payload_columns
+    base = roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key)
+    if broadcast_total:
+        return _semi_naive_broadcast(base, expand, key, max_iters, _debug)
+    total = _ckpt(base)
+    total_count = total.count()
     frontier = total
     for _round in range(max_iters):
         _t0 = _time.time()
         frontier_coll = DiffCollection.from_df(frontier)
         cand = expand(frontier_coll).df.select(*key)
-        new = _ckpt(cand.join(maybe_b(total), key, "left_anti").distinct())
+        new = _ckpt(cand.join(total, key, "left_anti").distinct())
+        nxt = _ckpt(total.unionAll(new))
+        nxt_count = nxt.count()
         if _debug:
+            print(
+                f"semi_naive round {_round}: {_time.time() - _t0:.2f}s "
+                f"total={nxt_count}",
+                flush=True,
+            )
+        done = nxt_count == total_count
+        if frontier is not total:
+            _release(frontier)
+        _release(total)
+        if done:
+            _release(new)
+            return DiffCollection.from_df(nxt)
+        total, total_count, frontier = nxt, nxt_count, new
+    raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
+
+
+def _semi_naive_broadcast(
+    base: DataFrame, expand: Logic, key: list, max_iters: int, debug: bool
+) -> DiffCollection:
+    """Broadcast-total variant: right when the closed set stays small enough
+    to hash into one relation (the per-round build is serial — see
+    semi_naive's docstring)."""
+    import time as _time
+
+    total = _ckpt(base)
+    frontier = total
+    for _round in range(max_iters):
+        _t0 = _time.time()
+        frontier_coll = DiffCollection.from_df(frontier)
+        cand = expand(frontier_coll).df.select(*key)
+        new = _ckpt(cand.join(F.broadcast(total), key, "left_anti").distinct())
+        if debug:
             print(f"semi_naive round {_round}: {_time.time() - _t0:.2f}s", flush=True)
         if new.isEmpty():
             _release(new)

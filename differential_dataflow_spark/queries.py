@@ -321,6 +321,26 @@ def dd_count_incremental(spark, sf_dir):
 
 
 @query(
+    "dd_delay",
+    """SELECT user_id,
+              CAST(greatest(CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT), 400) AS BIGINT) AS epoch,
+              CAST(count(*) AS BIGINT) AS diff
+       FROM events GROUP BY 1, 2""",
+)
+def dd_delay(spark, sf_dir):
+    """delay (src/collection.rs:405-421): advance update timestamps with a
+    monotone function — here every epoch before day 400 is deferred to day
+    400 (the 'hold early updates until a release time' idiom); output is the
+    consolidated delayed update stream."""
+    ev = _t(spark, sf_dir, "events")
+    coll = DiffCollection.from_df(
+        ev.select("user_id", "ts"),
+        epoch=F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast("long"),
+    ).map(F.col("user_id"))
+    return coll.delay(F.lit(400)).consolidate().df
+
+
+@query(
     "dd_trace_lookup",
     """SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS diff
        FROM orders
@@ -1651,6 +1671,29 @@ def graph_bidirectional_sp(spark, sf_dir):
     return bidirectional_shortest_path(
         _event_edges(spark, sf_dir), source=0, target=97
     )
+
+
+@query(
+    "graph_wco_triangles",
+    """WITH e AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       )
+       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       FROM e e1
+       JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+)
+def graph_wco_triangles(spark, sf_dir):
+    """Worst-case-optimal triangle enumeration (dogs³ propose/validate/count,
+    dogsdogsdogs/src/operators/{propose,validate,count}.rs): per (a,b)
+    prefix the smaller of edges-from-b / edges-from-a proposes c, the other
+    validates — intermediate size bounded by the AGM bound, not a join
+    plan's worst intermediate."""
+    from differential_dataflow_spark.operators.wco import triangles
+
+    edges = _event_edges(spark, sf_dir).df.select("src", "dst")
+    return triangles(edges)
 
 
 @query("graph_sequential_coloring")  # order-gated greedy — pytest oracle

@@ -100,3 +100,15 @@ def test_assert_eq(spark):
     a = c(spark, [(1, 1, 0, 1), (2, 2, 0, 2)])
     b = c(spark, [(1, 1, 0, 1), (2, 2, 0, 1), (2, 2, 0, 1)])
     a.assert_eq(b)
+
+
+def test_join_function_explodes_weight_and_time(spark):
+    # reference join_function (src/collection.rs:300-311): diff multiplied by
+    # the exploded weight, epoch joined (max) with the derived time.
+    coll = DiffCollection.from_updates(
+        spark, [(1, 5, 0, 1), (2, 3, 7, 2)], "k bigint, v bigint"
+    )
+    out = coll.join_function(F.col("v"), F.col("k") + 2, F.col("k"))
+    # row (k=1): diff 5*1, epoch max(0, 3) = 3; row (k=2): diff 3*2, epoch
+    # max(7, 4) = 7.
+    assert out.updates() == [(1, 3, 5), (2, 7, 6)]
