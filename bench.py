@@ -16,11 +16,14 @@ Components:
 - ``scaling``: the identical flagship job at local[8] vs local[32] on
   identical input — the sandbox evidence for the two-cluster-size criterion.
   efficiency = throughput_4N / (4 * throughput_N).
-- ``calibration``: a pure-compute 20B-row hash-agg job at both parallelism
-  levels. On this VM 32 vCPUs deliver ~2.7x the throughput of 8 (SMT /
-  oversubscription), so the *hardware* ceiling for 8->32 efficiency is ~0.68;
-  ``scaling.efficiency_vs_hardware`` normalizes the engine's efficiency by
-  this ceiling (1.0 = engine scales exactly as well as raw JVM compute).
+- ``calibration``: TWO hardware-ceiling jobs at both parallelism levels —
+  a pure-compute hash aggregate (the COMPUTE ceiling: this VM delivers only
+  ~1.5-2.8x from 8->32 threads; SMT/oversubscription) and a minimal
+  shuffle+aggregate of longs (the SHUFFLE/memory ceiling: all 32 threads
+  share one memory bus here, whereas a real cluster's shuffle bandwidth
+  scales with machine count). ``efficiency_vs_hardware`` normalizes by the
+  compute ceiling, ``efficiency_vs_shuffle_ceiling`` by the shuffle ceiling
+  (1.0 = the engine scales as well as the corresponding raw Spark job).
 
 Usage:
   python bench.py                  # full: queries + flagship + scaling

@@ -237,3 +237,51 @@ def iterate_keyed_min(
             _release(prev_frontier)
         frontier = improved
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
+
+
+def iterate_with_priorities(
+    staged: DiffCollection,
+    logic: Logic,
+    round_col: str = "enter_at",
+    max_iters: int = 100,
+    strict: bool = True,
+) -> DiffCollection:
+    """Fixpoint where records ENTER the loop at a chosen iteration round —
+    the reference's ``enter_at`` (src/collection.rs:375-392), used to gate
+    work by priority (e.g. sequential.rs's node-order gating).
+
+    ``staged``'s payload carries ``round_col``; a record participates from
+    iteration ``enter_at`` onward:
+
+        current_0     = stage[0]
+        current_{r+1} = consolidate(logic(current_r) ∪ stage[r+1])
+
+    and after the last staged round the plain fixpoint loop finishes the
+    convergence (updates dissipate). ``round_col`` is dropped from the loop
+    variable's payload.
+    """
+    rounds_df = staged.df.agg(F.max(round_col).alias("m")).collect()
+    max_round = rounds_df[0]["m"]
+    if max_round is None:
+        raise ValueError("iterate_with_priorities: empty staged collection")
+    payload = [c for c in staged.payload_columns if c != round_col]
+
+    def stage_at(r: int) -> DiffCollection:
+        return staged.filter(F.col(round_col) == r).map(*payload)
+
+    current = _ckpt(stage_at(0).consolidate().df)
+    for r in range(1, int(max_round) + 1):
+        nxt = _ckpt(
+            logic(DiffCollection(current))
+            .concat(stage_at(r))
+            .consolidate()
+            .df
+        )
+        _release(current)
+        current = nxt
+    # Every record has entered; run the ordinary fixpoint to convergence.
+    out = iterate(
+        DiffCollection(current), logic, max_iters=max_iters, strict=strict
+    )
+    _release(current)
+    return out

@@ -110,3 +110,35 @@ def test_connected_components_label_propagation(spark):
     )
     got = sorted((r.node, r.label) for r in comps.df.collect())
     assert got == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)]
+
+
+def test_iterate_with_priorities_enter_at(spark):
+    # enter_at (src/collection.rs:375-392): records join the loop at their
+    # round. Roots staged at rounds 0/2 over a 2-chain graph must reach the
+    # same closure as all-at-once iteration (monotone logic), and the staged
+    # plumbing must not lose or duplicate records.
+    from differential_dataflow_spark.operators.iterate import (
+        iterate_with_priorities,
+    )
+
+    edges = {(1, 2), (2, 3), (10, 11), (11, 12)}
+    edges_coll = DiffCollection.from_updates(
+        spark, [(s, d, 0, 1) for s, d in edges], "src bigint, dst bigint"
+    )
+
+    def logic(cur):
+        new = (
+            cur.map(src=F.col("node"))
+            .join(edges_coll.map(F.col("src"), node=F.col("dst")), on=["src"])
+            .map(F.col("node"))
+        )
+        return cur.concat(new).distinct(["node"])
+
+    staged = DiffCollection.from_updates(
+        spark,
+        [(1, 0, 0, 1), (10, 2, 0, 1)],  # node 1 enters at round 0, 10 at 2
+        "node bigint, enter_at bigint",
+    )
+    out = iterate_with_priorities(staged, logic)
+    got = sorted(r.node for r in out.df.select("node").collect())
+    assert got == [1, 2, 3, 10, 11, 12]
