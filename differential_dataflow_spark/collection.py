@@ -499,14 +499,19 @@ class DiffCollection:
         keys: Sequence[str],
         order_by: Sequence[Column],
         k: int,
-        single_epoch: bool = True,
+        single_epoch: bool | None = None,
     ) -> "DiffCollection":
-        """First k distinct values per key. ``single_epoch=True`` (default)
-        is the Catalyst fast path, valid ONLY when every update shares one
-        epoch; pass ``single_epoch=False`` for evolving collections (general
-        retraction-correct kernel; see operators.reduce.top_k)."""
+        """First k distinct values per key. ``single_epoch`` defaults to
+        whether the single-epoch invariant is statically known
+        (``const_epoch``), matching the gating of count/threshold/reduce:
+        the Catalyst fast path is valid ONLY when every update shares one
+        epoch. Pass ``single_epoch=False`` to force the general
+        retraction-correct kernel (see operators.reduce.top_k), or ``True``
+        to assert the invariant for a collection whose metadata lost it."""
         from differential_dataflow_spark.operators.reduce import top_k as _top_k
 
+        if single_epoch is None:
+            single_epoch = self.const_epoch is not None
         return _top_k(self, keys, order_by, k, single_epoch=single_epoch)
 
     # ------------------------------------------------------------------ #
@@ -574,7 +579,7 @@ class DiffCollection:
         from differential_dataflow_spark.session import tracked_local_checkpoint
 
         ckpt = tracked_local_checkpoint(self.df, eager=True)
-        out = DiffCollection(ckpt)
+        out = DiffCollection(ckpt, const_epoch=self.const_epoch)
         # __init__ re-projects into canonical column order, which drops the
         # tracked handle — carry it onto the collection's DataFrame.
         out.df._ckpt_rdds = getattr(ckpt, "_ckpt_rdds", [])

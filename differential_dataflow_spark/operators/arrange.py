@@ -97,16 +97,24 @@ class Arrangement:
     def insert_batch(self, updates: DiffCollection) -> None:
         """Seal one batch into the trace. The batch's ``[lower, upper)``
         epoch bounds are recorded as its Description; rows are written
-        key-partitioned so lookups and joins read co-located data."""
+        key-partitioned so lookups and joins read co-located data.
+
+        Bounds come from the CONSOLIDATED batch (what is actually written),
+        and a batch whose updates fully cancel is skipped entirely — no data
+        files and no manifest entry (the reference never seals empty batches
+        into the spine either)."""
         df = updates.consolidate().df
+        bounds = df.agg(
+            F.min(EPOCH).alias("lo"), F.max(EPOCH).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return  # fully-cancelled batch: nothing to seal
         parts = self.num_partitions or self.spark.sparkContext.defaultParallelism
         df = df.repartition(parts, *self.key)
         df.write.mode("append").parquet(str(self.root / "data"))
-        bounds = updates.df.agg(
-            F.min(EPOCH).alias("lo"), F.max(EPOCH).alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is not None:
-            self.batches.append({"lower": int(bounds["lo"]), "upper": int(bounds["hi"]) + 1})
+        self.batches.append(
+            {"lower": int(bounds["lo"]), "upper": int(bounds["hi"]) + 1}
+        )
         self._save_manifest()
 
     def compact(self, since: int) -> None:
@@ -130,11 +138,20 @@ class Arrangement:
             .filter(F.col(DIFF) != 0)
         )
         parts = self.num_partitions or self.spark.sparkContext.defaultParallelism
-        tmp = str(self.root / "compact_tmp")
-        compacted.repartition(parts, *self.key).write.mode("overwrite").parquet(tmp)
-        fresh = self.spark.read.parquet(tmp)
-        fresh.write.mode("overwrite").parquet(str(self.root / "data"))
+        # Crash-safe rewrite: stage the compacted trace beside data/, then
+        # atomically swap directories (same filesystem => os.rename is atomic)
+        # and update the manifest LAST. A crash at any point leaves either the
+        # old trace or the new one fully intact under data/.
+        tmp = self.root / "compact_tmp"
+        old = self.root / "compact_old"
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted.repartition(parts, *self.key).write.mode("overwrite").parquet(
+            str(tmp)
+        )
+        (self.root / "data").rename(old)
+        tmp.rename(self.root / "data")
+        shutil.rmtree(old, ignore_errors=True)
         self.since = since
         lo = min((b["lower"] for b in self.batches), default=since)
         hi = max((b["upper"] for b in self.batches), default=since + 1)

@@ -229,8 +229,15 @@ def iterate_keyed_min(
                 _release(frontier)
             return DiffCollection.from_df(best)
         prev_best, prev_frontier = best, frontier
+        # Merge as union + per-key min rather than anti-join + union: the
+        # latter references the `improved` LogicalRDD twice in one plan,
+        # which trips a Spark localCheckpoint stats-rewrite bug ("key not
+        # found: <attr>") after attribute deduplication. `improved` holds
+        # only strictly-better values, so the per-key min IS the new best.
         best = _ckpt(
-            prev_best.join(improved.select(*keys), keys, "left_anti").union(improved)
+            prev_best.unionByName(improved)
+            .groupBy(*keys)
+            .agg(F.min(value).alias(value))
         )
         _release(prev_best)
         if prev_frontier is not prev_best:

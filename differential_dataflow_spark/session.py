@@ -10,8 +10,16 @@ against external oracles.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# Serializes the persistent-RDD-map diff inside tracked_local_checkpoint:
+# with a concurrent job that persists/checkpoints (streaming foreachBatch
+# thread, parallel driver threads), an unguarded diff can capture ANOTHER
+# job's RDD and release_checkpoint would later unpersist a live
+# lineage-truncated RDD — unrecoverable for that job.
+_ckpt_lock = threading.Lock()
 
 
 def get_spark(
@@ -85,15 +93,28 @@ def tracked_local_checkpoint(df, eager: bool = True):
 
     ``DataFrame.unpersist()`` is a no-op for localCheckpoint blocks — they are
     RDD-level persists outside the cache manager — so fixpoint loops that
-    relied on it leaked one checkpoint RDD per round. Diffing the context's
-    persistent-RDD map around the checkpoint captures the real handle.
+    relied on it leaked one checkpoint RDD per round. The handle is resolved
+    from the returned DataFrame's OWN plan (its LogicalRDD's backing RDD) —
+    never from a global persistent-RDD-map diff, which under any concurrent
+    persisting job could capture that job's RDD and later unpersist a live
+    lineage-truncated RDD. A (locked) map diff remains only as a fallback for
+    plan shapes without a direct handle.
     """
     spark = df.sparkSession
-    before = {rid for rid, _ in _persistent_entries(spark)}
     out = df.localCheckpoint(eager=eager)
-    out._ckpt_rdds = [
-        jrdd for rid, jrdd in _persistent_entries(spark) if rid not in before
-    ]
+    try:
+        analyzed = out._jdf.queryExecution().analyzed()
+        jrdd = analyzed.rdd()
+        out._ckpt_rdds = [jrdd]
+        return out
+    except Exception:
+        pass
+    with _ckpt_lock:
+        before = {rid for rid, _ in _persistent_entries(spark)}
+        out = df.localCheckpoint(eager=eager)
+        out._ckpt_rdds = [
+            jrdd for rid, jrdd in _persistent_entries(spark) if rid not in before
+        ]
     return out
 
 

@@ -54,9 +54,22 @@ class ExactlyOnceSink:
         # could disagree with the data actually committed.
         df.write.mode("overwrite").parquet(out_dir)
         written = df.sparkSession.read.parquet(out_dir)
-        counts_df = written.withColumn(
-            "partition", F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
-        ).groupBy("partition").count()
+        # Progress "partition" ids are OUTPUT-FILE ordinals post-write (the
+        # part-NNNNN number), not the micro-batch's in-flight Spark partition
+        # ids — the durable artifact is the file set, so lineage is keyed by
+        # it. Non-matching file names (e.g. a foreign file dropped into the
+        # dir) fall into ordinal -1 rather than failing the commit.
+        ord_expr = F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+        counts_df = (
+            written.withColumn(
+                "partition",
+                F.when(ord_expr == "", F.lit(-1)).otherwise(
+                    ord_expr.cast("int")
+                ),
+            )
+            .groupBy("partition")
+            .count()
+        )
         part_counts = {
             int(r["partition"]): int(r["count"]) for r in counts_df.collect()
         }

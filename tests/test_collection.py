@@ -112,3 +112,24 @@ def test_join_function_explodes_weight_and_time(spark):
     # row (k=1): diff 5*1, epoch max(0, 3) = 3; row (k=2): diff 3*2, epoch
     # max(7, 4) = 7.
     assert out.updates() == [(1, 3, 5), (2, 7, 6)]
+
+
+def test_local_checkpoint_keeps_const_epoch_fast_path(spark):
+    # Regression: local_checkpoint used to drop const_epoch, silently losing
+    # downstream count/threshold/reduce Catalyst fast paths (no sort-window).
+    base = DiffCollection.from_df(
+        spark.range(100).selectExpr("id % 5 as k")
+    )
+    assert base.const_epoch == 0
+    ck = base.local_checkpoint()
+    assert ck.const_epoch == 0
+    plan = (
+        ck.count(["k"], alias="n")
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # fast path: plain hash aggregate
+    assert ck.count(["k"], alias="n").updates() == [
+        (k, 20, 0, 1) for k in range(5)
+    ]

@@ -283,3 +283,10 @@ def test_sequential_coloring_matches_greedy(spark):
     # validity: no edge is monochromatic
     for s, d in edges:
         assert got[s] != got[d]
+    # The distributed level-synchronous fallback (taken when a component
+    # exceeds max_component_nodes) must agree with the in-task greedy kernel.
+    got_ls = {
+        r.node: r.color
+        for r in G.sequential_coloring(coll, max_component_nodes=0).df.collect()
+    }
+    assert got_ls == want

@@ -96,7 +96,10 @@ def test_top_k(spark):
         spark,
         [(1, 10, 0, 1), (1, 20, 0, 1), (1, 30, 0, 1), (2, 1, 0, 1)],
     )
-    out = coll.top_k(["k"], [F.col("v").desc()], k=2)
+    # from_updates carries no const_epoch metadata, so the Catalyst fast path
+    # (the only path honoring order_by) must be asserted explicitly; the
+    # input is in fact single-epoch, so the invariant holds.
+    out = coll.top_k(["k"], [F.col("v").desc()], k=2, single_epoch=True)
     assert out.updates() == [(1, 20, 0, 1), (1, 30, 0, 1), (2, 1, 0, 1)]
 
 
