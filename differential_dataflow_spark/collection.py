@@ -56,7 +56,12 @@ class DiffCollection:
     (src/operators/count.rs:30, src/operators/threshold.rs:20).
     """
 
-    def __init__(self, df: DataFrame, const_epoch: int | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        const_epoch: int | None = None,
+        consolidated: bool = False,
+    ):
         missing = [c for c in RESERVED if c not in df.columns]
         if missing:
             raise ValueError(
@@ -67,6 +72,12 @@ class DiffCollection:
         payload = [c for c in df.columns if c not in RESERVED]
         self.df = df.select(*payload, EPOCH, DIFF)
         self.const_epoch = const_epoch
+        # Static metadata: True when the stream is known to hold at most one
+        # update per (data, epoch) with nonzero diff — the output contract of
+        # consolidate() and of the grouped operators. consolidate() is then a
+        # no-op, mirroring how the reference's arranged outputs are already
+        # consolidated and re-consolidation is free.
+        self.consolidated = consolidated
         # Carry any tracked-checkpoint handle through the re-projection so
         # session.release_checkpoint(coll.df) still frees the blocks.
         if hasattr(df, "_ckpt_rdds"):
@@ -160,7 +171,7 @@ class DiffCollection:
             df = df.unionByName(o.df)
         epochs = {self.const_epoch, *(o.const_epoch for o in others)}
         const = epochs.pop() if len(epochs) == 1 else None
-        return DiffCollection(df, const_epoch=const)
+        return type(self)(df, const_epoch=const)
 
     def negate(self) -> "DiffCollection":
         """Negate all diffs; set difference is ``a.concat(b.negate())``
@@ -222,14 +233,22 @@ class DiffCollection:
         diff, zeros dropped. Physically: hash-shuffle on all payload columns +
         epoch, combine (Spark does map-side partial aggregation — the
         reference's ``consolidate_stream`` best-effort pass — automatically),
-        filter zero weights (src/consolidation.rs:35-78 cancellation)."""
+        filter zero weights (src/consolidation.rs:35-78 cancellation).
+
+        A no-op (no exchange) when the stream is statically known
+        consolidated — the output of consolidate itself and of the grouped
+        operators."""
+        if self.consolidated:
+            return self
         keys = self.payload_columns + [EPOCH]
         out = (
             self.df.groupBy(*keys)
             .agg(F.sum(DIFF).alias(DIFF))
             .filter(F.col(DIFF) != 0)
         )
-        return self._same_epoch(out)
+        return type(self)(
+            out, const_epoch=self.const_epoch, consolidated=True
+        )
 
     def assert_empty(self) -> None:
         """Consolidate; raise if any update survives
@@ -349,7 +368,9 @@ class DiffCollection:
                     F.lit(1).cast("long").alias(DIFF),
                 )
             )
-            return DiffCollection(out, const_epoch=self.const_epoch)
+            return DiffCollection(
+                out, const_epoch=self.const_epoch, consolidated=True
+            )
         return self._accumulate(keys, F.col("__cum"), alias)
 
     def sum_weights(self, keys: Sequence[str], alias: str = "sum") -> "DiffCollection":
@@ -395,7 +416,9 @@ class DiffCollection:
                     F.col(DIFF),
                 )
             )
-            return DiffCollection(out, const_epoch=self.const_epoch)
+            return DiffCollection(
+                out, const_epoch=self.const_epoch, consolidated=True
+            )
         per_epoch = (
             self.df.groupBy(*keys, EPOCH)
             .agg(F.sum(DIFF).alias("__delta"))
@@ -411,7 +434,7 @@ class DiffCollection:
             .filter(F.col(DIFF) != 0)
             .select(*keys, EPOCH, DIFF)
         )
-        return DiffCollection(out)
+        return DiffCollection(out, consolidated=True)
 
     def _accumulate(
         self, keys: Sequence[str], value_of_cum: Column, alias: str
@@ -451,7 +474,7 @@ class DiffCollection:
             .filter(F.col("__e").isNotNull())
             .select(*keys, F.col(f"__e.{alias}"), F.col(EPOCH), F.col(f"__e.{DIFF}"))
         )
-        return DiffCollection(out)
+        return DiffCollection(out, consolidated=True)
 
     @staticmethod
     def _value_of(cum_col: Column, template: Column) -> Column:
@@ -579,7 +602,9 @@ class DiffCollection:
         from differential_dataflow_spark.session import tracked_local_checkpoint
 
         ckpt = tracked_local_checkpoint(self.df, eager=True)
-        out = DiffCollection(ckpt, const_epoch=self.const_epoch)
+        out = DiffCollection(
+            ckpt, const_epoch=self.const_epoch, consolidated=self.consolidated
+        )
         # __init__ re-projects into canonical column order, which drops the
         # tracked handle — carry it onto the collection's DataFrame.
         out.df._ckpt_rdds = getattr(ckpt, "_ckpt_rdds", [])

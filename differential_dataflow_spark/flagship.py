@@ -69,6 +69,9 @@ def flagship_pipeline(
     # epoch where the conversation grew).
     t0 = time.time()
     counts = coll.map(F.col("conv_id")).count(["conv_id"], alias="n_turns")
+    # count's update stream is consolidated by construction (at most one
+    # update per (key, value, epoch) change point), so consolidate() is a
+    # metadata no-op — no extra exchange of the 8.9M-update output.
     n_count_updates = counts.consolidate().df.count()
     stages["group"] = round(time.time() - t0, 3)
 
@@ -102,7 +105,15 @@ def flagship_pipeline(
     # iterate is too); the per-round latency floor is what dominates this
     # stage, so bench reports the group+join core's scaling separately.
     t0 = time.time()
-    convs = updates.select("conv_id").distinct()
+    # ONE distinct pass over the input derives the conversation universe;
+    # checkpointed and reused by both the edge build and the roots (two
+    # downstream jobs previously re-scanned + re-deduplicated all turns).
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    convs = tracked_local_checkpoint(updates.select("conv_id").distinct())
     conv_no = F.abs(F.xxhash64("conv_id")) % n_convs
     # Materialize the deduplicated edge set once as a CACHED, hash-partitioned
     # table: persist() (unlike localCheckpoint) keeps the HashPartitioning
@@ -110,6 +121,9 @@ def flagship_pipeline(
     # the (small) frontier side and never rebuilds a broadcast relation — the
     # per-round serial broadcast build was what flattened 8->32 scaling.
     P = spark.sparkContext.defaultParallelism * 2
+    # No edge-level distinct: hash collisions duplicate ~1e-6 of edges and
+    # semi_naive dedups candidates anyway — a 16M-row dedup exchange bought
+    # nothing.
     edges_df = (
         convs.select(
             conv_no.alias("src"),
@@ -122,7 +136,6 @@ def flagship_pipeline(
                 )
             ).alias("dst"),
         )
-        .distinct()
         .repartition(P, "src")
         .persist()
     )
@@ -141,6 +154,7 @@ def flagship_pipeline(
         max_iters=200,
     )
     n_reached = reached.df.count()
+    release_checkpoint(convs)
     stages["iterate"] = round(time.time() - t0, 3)
 
     # Release every block this run pinned — localCheckpoint blocks are not

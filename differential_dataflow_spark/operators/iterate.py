@@ -108,21 +108,32 @@ def semi_naive(
     result collapses epochs: it is the fixpoint of the final accumulated
     input (per-epoch incremental iteration is the streaming engine's job).
 
-    Default loop shape — SHUFFLE-ALIGNED, checkpointed every round:
+    Default loop shape — SHUFFLE-ALIGNED, checkpointed every round, with the
+    accumulated total kept as a LIST of disjoint checkpointed frontier parts
+    (never rewritten):
 
-      new    = checkpoint((expand(frontier) ANTI total) DISTINCT)
-      total' = checkpoint(total UNION new);  emptiness = count unchanged
+      new     = checkpoint((DISTINCT expand(frontier)) ANTI union(parts))
+      parts  += [new];  emptiness = count(new) == 0
 
-    Every round's results are locally checkpointed, so plans stay O(1) —
+    Every round's new facts are locally checkpointed, so plans stay O(1) —
     without this the union/anti lineage doubles per round and Catalyst
     analysis explodes exponentially (measured: 0.8s -> 18.7s by round 4 on a
-    20-node graph under persist-only lineage). The anti-join is a SHUFFLE
-    join of keys: both sides exchange (the total is key-columns only — tiny
-    relative to the data), every byte of which moves in parallel. The
-    ``broadcast_total=True`` variant instead hashes the whole accumulated
-    total into a broadcast relation every round — a single-threaded build
-    that flattens 8->32 scaling at multi-million-node totals and dies when
-    the closed set outgrows one executor; use it only for small closed sets.
+    20-node graph under persist-only lineage). The total is NEVER union+
+    re-checkpointed: that rewrite made late small-frontier rounds cost
+    O(|total|) in block-store writes (measured 37s for a 1-new-fact round at
+    3.9M total) and anti-scaled with thread count via allocation/GC pressure.
+    The union of checkpointed parts is free to extend; the anti-join
+    exchanges the (key-columns-only) parts union once per round, every byte
+    in parallel. DISTINCT runs BEFORE the anti-join, so the duplicate factor
+    of ``expand`` (e.g. 4x for a 4-out expander) never enters the join, and
+    the join reuses distinct's hash partitioning (one exchange for the
+    candidate side). Per round: 1 checkpoint + 1 count, both O(new).
+
+    The ``broadcast_total=True`` variant instead hashes the whole
+    accumulated total into a broadcast relation every round — a
+    single-threaded build that flattens 8->32 scaling at multi-million-node
+    totals and dies when the closed set outgrows one executor; use it only
+    for small closed sets.
     """
     import os as _os
     import time as _time
@@ -132,30 +143,57 @@ def semi_naive(
     base = roots.consolidate_final().filter(F.col(DIFF) > 0).select(*key)
     if broadcast_total:
         return _semi_naive_broadcast(base, expand, key, max_iters, _debug)
-    total = _ckpt(base)
-    total_count = total.count()
-    frontier = total
+    parts = [_ckpt(base)]
+    frontier = parts[0]
+    n_frontier = None  # carried from the previous round's count — no extra job
+    SMALL_FRONTIER = 200_000
     for _round in range(max_iters):
         _t0 = _time.time()
         frontier_coll = DiffCollection.from_df(frontier)
-        cand = expand(frontier_coll).df.select(*key)
-        new = _ckpt(cand.join(total, key, "left_anti").distinct())
-        nxt = _ckpt(total.unionAll(new))
-        nxt_count = nxt.count()
+        # The candidate set is checkpointed BEFORE the anti-join so the
+        # anti-join plan references each checkpoint RDD exactly once —
+        # `frontier` is both the expand input and one of the parts, and a
+        # plan holding the same LogicalRDD twice trips Spark's
+        # localCheckpoint stats rewrite ("key not found: <attr>").
+        cand = _ckpt(expand(frontier_coll).df.select(*key).distinct())
+        total = parts[0]
+        for p in parts[1:]:
+            total = total.unionAll(p)
+        if n_frontier is not None and n_frontier <= SMALL_FRONTIER:
+            # Small-frontier tail: the plain anti-join would exchange (or
+            # broadcast-build) the ENTIRE accumulated total every round even
+            # for a 1-fact frontier. Instead broadcast the small candidate
+            # set against the parts (one map-side scan, no exchange) to find
+            # the already-known keys, then anti-join the candidates against
+            # that (small) matched set. `matched` is checkpointed so the
+            # final plan references `cand`'s RDD only once.
+            matched = _ckpt(
+                total.join(F.broadcast(cand), key, "left_semi")
+            )
+            new = _ckpt(cand.join(F.broadcast(matched), key, "left_anti"))
+            _release(matched)
+        else:
+            new = _ckpt(cand.join(total, key, "left_anti"))
+        n_new = new.count()
+        n_frontier = n_new
+        _release(cand)
         if _debug:
             print(
                 f"semi_naive round {_round}: {_time.time() - _t0:.2f}s "
-                f"total={nxt_count}",
+                f"new={n_new}",
                 flush=True,
             )
-        done = nxt_count == total_count
-        if frontier is not total:
-            _release(frontier)
-        _release(total)
-        if done:
+        if n_new == 0:
             _release(new)
-            return DiffCollection.from_df(nxt)
-        total, total_count, frontier = nxt, nxt_count, new
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            # Carry every part's storage handle so release_checkpoint on the
+            # result frees the whole closed set.
+            out._ckpt_rdds = [h for p in parts for h in getattr(p, "_ckpt_rdds", ())]
+            return DiffCollection.from_df(out)
+        parts.append(new)
+        frontier = new
     raise FixpointNotReached(f"no fixed point within {max_iters} iterations")
 
 
@@ -292,3 +330,75 @@ def iterate_with_priorities(
     )
     _release(current)
     return out
+
+
+def mutual_semi_naive(
+    roots: dict[str, DiffCollection],
+    expands: dict[str, "Callable[[dict, dict], DiffCollection]"],
+    max_iters: int = 10_000,
+) -> dict[str, DiffCollection]:
+    """Semi-naive fixpoint over SEVERAL mutually recursive relations — the
+    reference's multi-`Variable` pattern (src/operators/iterate.rs:166-262),
+    the doop/graspan program shape (doop/src/main.rs:1-40: many variables,
+    each defined from the others, iterated to mutual fixpoint).
+
+    ``roots[name]`` seeds relation ``name``; ``expands[name]`` maps
+    ``(frontiers, totals)`` — dicts keyed by relation name holding the
+    last round's new-fact collections and the accumulated closed sets
+    (plain DataFrames of key columns) — to the candidate collection for
+    ``name``. Monotone, distinct-valued logic only (the semi_naive
+    contract). Each relation keeps its closed set as a list of disjoint
+    checkpointed frontier parts exactly like :func:`semi_naive`; a round
+    costs, per relation, one candidate checkpoint + one anti-join + one
+    count, all O(new).
+
+    Returns ``{name: closed-set DiffCollection}``.
+    """
+    names = list(roots)
+    keys = {n: roots[n].payload_columns for n in names}
+    parts: dict[str, list[DataFrame]] = {}
+    frontiers: dict[str, DiffCollection] = {}
+    for n in names:
+        base = (
+            roots[n].consolidate_final().filter(F.col(DIFF) > 0).select(*keys[n])
+        )
+        parts[n] = [_ckpt(base)]
+        frontiers[n] = DiffCollection.from_df(parts[n][0])
+
+    def union_of(ps):
+        out = ps[0]
+        for p in ps[1:]:
+            out = out.unionAll(p)
+        return out
+
+    for _round in range(max_iters):
+        totals = {n: union_of(parts[n]) for n in names}
+        new_parts: dict[str, DataFrame] = {}
+        any_new = False
+        for n in names:
+            # Checkpoint candidates before the anti-join: a plan holding the
+            # same checkpoint RDD twice (a frontier that is also a part)
+            # trips Spark's localCheckpoint stats rewrite.
+            cand = _ckpt(
+                expands[n](frontiers, totals).df.select(*keys[n]).distinct()
+            )
+            new = _ckpt(cand.join(totals[n], keys[n], "left_anti"))
+            _release(cand)
+            if new.count() > 0:
+                any_new = True
+            new_parts[n] = new
+        if not any_new:
+            for n in names:
+                _release(new_parts[n])
+            out: dict[str, DiffCollection] = {}
+            for n in names:
+                closed = union_of(parts[n])
+                closed._ckpt_rdds = [
+                    h for p in parts[n] for h in getattr(p, "_ckpt_rdds", ())
+                ]
+                out[n] = DiffCollection.from_df(closed)
+            return out
+        for n in names:
+            parts[n].append(new_parts[n])
+            frontiers[n] = DiffCollection.from_df(new_parts[n])
+    raise FixpointNotReached(f"no mutual fixed point within {max_iters} iterations")

@@ -142,3 +142,49 @@ def test_iterate_with_priorities_enter_at(spark):
     out = iterate_with_priorities(staged, logic)
     got = sorted(r.node for r in out.df.select("node").collect())
     assert got == [1, 2, 3, 10, 11, 12]
+
+
+def test_mutual_semi_naive_even_odd(spark):
+    # Even/odd-hop reachability: two mutually recursive relations
+    # (the reference's multi-Variable shape). Python parity-BFS oracle.
+    from differential_dataflow_spark.operators.iterate import mutual_semi_naive
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 0), (4, 5)]
+    want = {("even", 0)}
+    frontier = {("even", 0)}
+    while frontier:
+        nxt = set()
+        for tag, n in frontier:
+            out_tag = "odd" if tag == "even" else "even"
+            for s, d in edges:
+                if s == n and (out_tag, d) not in want:
+                    nxt.add((out_tag, d))
+        want |= nxt
+        frontier = nxt
+
+    e = DiffCollection.from_df(spark.createDataFrame(edges, "src long, dst long"))
+    even0 = DiffCollection.from_df(
+        spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    )
+    odd0 = DiffCollection.from_df(spark.createDataFrame([], "node long"))
+
+    def step(frontier_coll):
+        return (
+            frontier_coll.map(src=F.col("node"))
+            .join(e.map(F.col("src"), node=F.col("dst")), on=["src"])
+            .map(F.col("node"))
+        )
+
+    closed = mutual_semi_naive(
+        roots={"even": even0, "odd": odd0},
+        expands={
+            "even": lambda fr, tot: step(fr["odd"]),
+            "odd": lambda fr, tot: step(fr["even"]),
+        },
+    )
+    got = {
+        (tag, r["node"])
+        for tag in ("even", "odd")
+        for r in closed[tag].df.collect()
+    }
+    assert got == want
