@@ -61,6 +61,10 @@ def flagship_pipeline(
     ).parquet(staging)
     updates = spark.read.parquet(staging)
     n_turns = updates.count()
+    # Full GC once the write settles: the generator allocates heavily (string
+    # building across all threads) and at high thread counts its collection
+    # debt otherwise lands inside the first measured engine stage.
+    spark.sparkContext._jvm.System.gc()
     stages["generate"] = round(time.time() - t0, 3)
 
     coll = DiffCollection(updates)
@@ -113,8 +117,13 @@ def flagship_pipeline(
         tracked_local_checkpoint,
     )
 
-    convs = tracked_local_checkpoint(updates.select("conv_id").distinct())
-    conv_no = F.abs(F.xxhash64("conv_id")) % n_convs
+    # Distinct over the 8-byte conversation hash, not the string id — the
+    # id's only downstream uses are hash-derived (node number, out-edges),
+    # so the exchange moves longs instead of strings.
+    convs = tracked_local_checkpoint(
+        updates.select(F.xxhash64("conv_id").alias("h")).distinct()
+    )
+    conv_no = F.abs(F.col("h")) % n_convs
     # Materialize the deduplicated edge set once as a CACHED, hash-partitioned
     # table: persist() (unlike localCheckpoint) keeps the HashPartitioning
     # visible to Catalyst, so each fixpoint round's expand join exchanges only
@@ -130,7 +139,7 @@ def flagship_pipeline(
             F.explode(
                 F.array(
                     *[
-                        F.abs(F.xxhash64("conv_id", F.lit(i))) % n_convs
+                        F.abs(F.xxhash64("h", F.lit(i))) % n_convs
                         for i in range(1, 5)
                     ]
                 )

@@ -146,7 +146,9 @@ def semi_naive(
     parts = [_ckpt(base)]
     frontier = parts[0]
     n_frontier = None  # carried from the previous round's count — no extra job
+    total_count = 0  # lower bound: counts of parts[1:]; parts[0] uncounted
     SMALL_FRONTIER = 200_000
+    BIG_TOTAL = 500_000  # broadcast tail only pays off against a big total
     for _round in range(max_iters):
         _t0 = _time.time()
         frontier_coll = DiffCollection.from_df(frontier)
@@ -159,7 +161,11 @@ def semi_naive(
         total = parts[0]
         for p in parts[1:]:
             total = total.unionAll(p)
-        if n_frontier is not None and n_frontier <= SMALL_FRONTIER:
+        if (
+            n_frontier is not None
+            and n_frontier <= SMALL_FRONTIER
+            and total_count >= BIG_TOTAL
+        ):
             # Small-frontier tail: the plain anti-join would exchange (or
             # broadcast-build) the ENTIRE accumulated total every round even
             # for a 1-fact frontier. Instead broadcast the small candidate
@@ -176,6 +182,7 @@ def semi_naive(
             new = _ckpt(cand.join(total, key, "left_anti"))
         n_new = new.count()
         n_frontier = n_new
+        total_count += n_new
         _release(cand)
         if _debug:
             print(
@@ -371,20 +378,32 @@ def mutual_semi_naive(
             out = out.unionAll(p)
         return out
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _advance(n, frontiers, totals):
+        # Checkpoint candidates before the anti-join: a plan holding the
+        # same checkpoint RDD twice (a frontier that is also a part)
+        # trips Spark's localCheckpoint stats rewrite.
+        cand = _ckpt(
+            expands[n](frontiers, totals).df.select(*keys[n]).distinct()
+        )
+        new = _ckpt(cand.join(totals[n], keys[n], "left_anti"))
+        _release(cand)
+        return n, new, new.count()
+
     for _round in range(max_iters):
         totals = {n: union_of(parts[n]) for n in names}
         new_parts: dict[str, DataFrame] = {}
         any_new = False
-        for n in names:
-            # Checkpoint candidates before the anti-join: a plan holding the
-            # same checkpoint RDD twice (a frontier that is also a part)
-            # trips Spark's localCheckpoint stats rewrite.
-            cand = _ckpt(
-                expands[n](frontiers, totals).df.select(*keys[n]).distinct()
+        # The relations' rounds are independent given the previous frontiers:
+        # run them as concurrent Spark jobs (the reference runs all Variables
+        # in one dataflow graph; driver threads are the Spark analogue).
+        with ThreadPoolExecutor(max_workers=max(len(names), 1)) as ex:
+            results = list(
+                ex.map(lambda n: _advance(n, frontiers, totals), names)
             )
-            new = _ckpt(cand.join(totals[n], keys[n], "left_anti"))
-            _release(cand)
-            if new.count() > 0:
+        for n, new, n_new in results:
+            if n_new > 0:
                 any_new = True
             new_parts[n] = new
         if not any_new:

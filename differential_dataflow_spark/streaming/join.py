@@ -12,24 +12,30 @@ one side is matched against the other side's trace, diffs multiply):
    (src/trace/mod.rs:79-114 logical compaction ≈ state eviction).
 
 2. ``DeltaJoin`` — the arrangement-based micro-batch join for ``foreachBatch``
-   pipelines: both sides' consolidated histories are parquet "traces"
-   (sorted, key-partitioned state tables); per batch the three delta terms
-   are computed and the traces appended + periodically compacted (the spine's
-   merge, src/trace/implementations/spine_fueled.rs, delegated to a parquet
-   rewrite). This is the path that scales to unbounded state with explicit
-   storage control (Iceberg/Delta table in production).
+   pipelines: each side's consolidated history IS an
+   ``operators.arrange.Arrangement`` — the same key-partitioned parquet
+   trace (sealed batch Descriptions, manifest, ``since`` frontier) that
+   serves point lookups — mirroring the reference's SINGLE trace abstraction
+   shared by join state and queries (src/trace/mod.rs:1-8). Per batch the
+   three delta terms are computed against the pre-batch traces, the deltas
+   are sealed as new batches (epoch = micro-batch ordinal), and the traces
+   are periodically compacted (the spine's merge,
+   src/trace/implementations/spine_fueled.rs, delegated to the
+   Arrangement's consolidating rewrite). This is the path that scales to
+   unbounded state with explicit storage control (Iceberg/Delta table in
+   production).
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from differential_dataflow_spark.collection import DIFF
+from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
+from differential_dataflow_spark.operators.arrange import Arrangement
 
 
 def stream_stream_join(
@@ -52,10 +58,14 @@ def stream_stream_join(
 class DeltaJoin:
     """Arrangement-backed incremental equi-join for micro-batch pipelines.
 
-    State layout: two parquet trace dirs (left/, right/) holding consolidated
-    update rows ``(key..., payload..., diff)``. ``process_batch`` implements
-    the delta rule; compaction consolidates the trace when its file count
-    exceeds ``compact_every`` appends.
+    State layout: two ``Arrangement`` traces (left/, right/) — key-partitioned
+    parquet with per-batch Descriptions and a compaction frontier. Deltas are
+    sealed with epoch = micro-batch ordinal; the join view reads the trace's
+    update rows and drops the epoch (the join needs only the accumulated
+    weights — the reference's cursor over merged batches). ``process_batch``
+    implements the delta rule; compaction advances the trace's ``since`` to
+    the current batch when the sealed-batch count reaches ``compact_every``,
+    collapsing history exactly like the spine's merges.
     """
 
     def __init__(
@@ -69,43 +79,32 @@ class DeltaJoin:
         self.on = list(on)
         self.root = Path(state_dir)
         self.compact_every = compact_every
-        self._appends = {"left": 0, "right": 0}
-        self._schemas: dict[str, object] = {}
-        for side in ("left", "right"):
-            (self.root / side).mkdir(parents=True, exist_ok=True)
+        self._arr: dict[str, Arrangement | None] = {"left": None, "right": None}
+        self._batch = 0
 
     def _trace(self, side: str) -> DataFrame | None:
-        """The side's consolidated history, or None if nothing appended yet."""
-        if side not in self._schemas:
+        """The side's history as ``(key..., payload..., diff)`` rows (epochs
+        dropped — per-epoch granularity is the trace's business, the join
+        only multiplies accumulated weights), or None if nothing sealed."""
+        arr = self._arr[side]
+        if arr is None:
             return None
-        schema = self._schemas[side]
-        if self._appends[side] == 0:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(str(self.root / side))
+        df = arr._read()
+        if df is None:
+            return None
+        return df.drop(EPOCH)
 
     def _append(self, side: str, delta: DataFrame) -> None:
-        self._schemas[side] = delta.schema
-        delta.write.mode("append").parquet(str(self.root / side))
-        self._appends[side] += 1
-        if self._appends[side] % self.compact_every == 0:
-            self._compact(side, delta)
-
-    def _compact(self, side: str, schema_of: DataFrame) -> None:
-        """Consolidate the trace: sum diffs per row, drop zeros, rewrite —
-        the logical+physical compaction of the reference's spine."""
-        path = str(self.root / side)
-        trace = self.spark.read.schema(schema_of.schema).parquet(path)
-        cols = [c for c in trace.columns if c != DIFF]
-        compacted = (
-            trace.groupBy(*cols).agg(F.sum(DIFF).alias(DIFF)).filter(F.col(DIFF) != 0)
+        if self._arr[side] is None:
+            self._arr[side] = Arrangement(
+                self.spark, str(self.root / side), key=self.on
+            )
+        arr = self._arr[side]
+        arr.insert_batch(
+            DiffCollection(delta.withColumn(EPOCH, F.lit(self._batch).cast("long")))
         )
-        tmp = str(self.root / f"{side}_compact_tmp")
-        compacted.repartition(*self.on).write.mode("overwrite").parquet(tmp)
-        fresh = self.spark.read.parquet(tmp)
-        fresh.write.mode("overwrite").parquet(path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        if len(arr.batches) >= self.compact_every:
+            arr.compact(since=self._batch)
 
     def process_batch(
         self, delta_left: DataFrame | None, delta_right: DataFrame | None
@@ -136,4 +135,5 @@ class DeltaJoin:
             self._append("left", delta_left)
         if delta_right is not None:
             self._append("right", delta_right)
+        self._batch += 1
         return out
