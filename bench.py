@@ -45,10 +45,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 4M conversations ~ 53.6M turns: large enough that per-stage compute
-# dominates driver/stage-scheduling latency floors at local[32] (at 500k the
-# fixpoint stage is pure latency and the 8->32 ratio measures nothing).
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000000"))
+# 8M conversations ~ 107M turns: large enough that per-stage compute
+# dominates driver/stage-scheduling latency floors at local[32] — at 4M the
+# fixpoint rounds cost the SAME ~20s at local[8] and local[32] (pure
+# latency floor), so the ratio measured nothing; at 500k even group/join
+# were floor-bound.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000000"))
 SCALING_PAIR = (8, 32)
 
 
@@ -136,22 +138,26 @@ def main() -> None:
         return
 
     do_scaling = "--no-scaling" not in sys.argv
+    do_queries = "--scaling-only" not in sys.argv
 
-    from differential_dataflow_spark.queries import QUERIES
-    from differential_dataflow_spark.session import get_spark, release_all_cached
-
-    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-
     query_secs: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        release_all_cached(spark)  # a prior query's leaked state never bills here
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        query_secs[name] = round(time.time() - t0, 3)
-        release_all_cached(spark)
-        print(f"query {name}: {query_secs[name]}s", file=sys.stderr, flush=True)
-    spark.stop()
+    if do_queries:
+        from differential_dataflow_spark.queries import QUERIES
+        from differential_dataflow_spark.session import (
+            get_spark,
+            release_all_cached,
+        )
+
+        spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+        for name, fn in QUERIES.items():
+            release_all_cached(spark)  # prior query's leaked state never bills here
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            query_secs[name] = round(time.time() - t0, 3)
+            release_all_cached(spark)
+            print(f"query {name}: {query_secs[name]}s", file=sys.stderr, flush=True)
+        spark.stop()
 
     result: dict = {
         "metric": "flagship_engine_turns_per_sec_local32",

@@ -46,7 +46,13 @@ def generate_transcripts(
     convs = spark.range(0, n_convs, 1, num_partitions or spark.sparkContext.defaultParallelism)
     convs = convs.select(
         F.col("id").alias("conv_no"),
-        F.format_string("c%06d", F.col("id")).alias("conv_id"),
+        # concat+lpad, not format_string: java.util.Formatter costs ~2x the
+        # whole row's worth of codegen time at 10^8-row scale. Width 8:
+        # lpad TRUNCATES longer inputs, so the width must cover the largest
+        # conv number (10^8 convs) or ids would silently collide.
+        F.concat(
+            F.lit("c"), F.lpad(F.col("id").cast("string"), 8, "0")
+        ).alias("conv_id"),
         F.when(F.col("id") % hot_stride == 0, F.lit(hot_multiplier * avg_turns))
         .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(seed)) % (avg_turns * 2)).cast("int") + 1)
         .alias("n_turns"),
@@ -72,12 +78,15 @@ def generate_transcripts(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
         role.alias("role"),
-        F.format_string(
-            "turn %d of %s: %s says %d",
-            F.col("turn_idx"),
+        F.concat(
+            F.lit("turn "),
+            F.col("turn_idx").cast("string"),
+            F.lit(" of "),
             F.col("conv_id"),
+            F.lit(": "),
             role,
-            text_hash,
+            F.lit(" says "),
+            text_hash.cast("string"),
         ).alias("text"),
         tool.alias("tool"),
         (
