@@ -368,7 +368,10 @@ def bidirectional_shortest_path(
     unreachable within max_iters.
     """
     spark = edges.df.sparkSession
-    fwd_edges = _tckpt(edges.df.select("src", "dst").distinct())
+    # No edge dedup: duplicate edges only duplicate candidates, and both the
+    # per-node min aggregation and the anti-join against the visited set
+    # absorb them — a distinct here would be one extra full exchange.
+    fwd_edges = _tckpt(edges.df.select("src", "dst"))
     bwd_edges = _tckpt(
         fwd_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
