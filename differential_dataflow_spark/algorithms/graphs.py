@@ -460,7 +460,7 @@ def bidirectional_shortest_path(
 def sequential_coloring(
     edges: DiffCollection,
     max_iters: int = 10_000,
-    max_component_nodes: int = 2_000_000,
+    max_component_nodes: int = 500_000,
 ) -> DiffCollection:
     """Greedy sequential graph coloring in node-id order — the reference's
     sequential.rs:44-60 fixpoint-with-order-gating: a node is colored once
@@ -481,7 +481,9 @@ def sequential_coloring(
     - Oversized components fall back to the distributed level-synchronous
       loop (``_coloring_levelsync``) whose per-round work is O(frontier):
       rounds = the longest id-increasing path, which is the inherent critical
-      path of the algorithm in ANY distributed execution.
+      path of the algorithm in ANY distributed execution. The 500k default
+      bounds the single-task kernel's in-memory pred lists to low hundreds
+      of MB even at average degree ~50; raise it only for sparse graphs.
 
     Returns (node, color) for every node of the (symmetrized) graph.
     """
@@ -544,6 +546,7 @@ def sequential_coloring(
     small_out = small_adj.groupBy("component").applyInPandas(
         _greedy_kernel, "node long, color long"
     )
+    big_out = None
     if big:
         big_nodes = comp.filter(F.col("component").isin(big)).select("node")
         big_pred = pred.join(big_nodes, "node", "left_semi")
@@ -554,6 +557,9 @@ def sequential_coloring(
     result = _tckpt(small_out)
     _release(sym)
     _release(comp)
+    _release(pred)
+    if big_out is not None:
+        _release(big_out)
     return DiffCollection.from_df(result)
 
 

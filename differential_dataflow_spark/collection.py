@@ -529,8 +529,10 @@ class DiffCollection:
         (``const_epoch``), matching the gating of count/threshold/reduce:
         the Catalyst fast path is valid ONLY when every update shares one
         epoch. Pass ``single_epoch=False`` to force the general
-        retraction-correct kernel (see operators.reduce.top_k), or ``True``
-        to assert the invariant for a collection whose metadata lost it."""
+        retraction-correct kernel (see operators.reduce.top_k — it ranks by
+        natural ascending value order and raises on any other ``order_by``),
+        or ``True`` to assert the invariant for a collection whose metadata
+        lost it."""
         from differential_dataflow_spark.operators.reduce import top_k as _top_k
 
         if single_epoch is None:

@@ -132,6 +132,49 @@ class BiTemporalCollection(DiffCollection):
         )
         return BiTemporalCollection(joined)
 
+    # ------------------------------------------------------------------ #
+    # Grouped operators: the inherited implementations order epochs with
+    # total-order machinery (windows over the epoch column, min/max epoch
+    # aggregates) — over a struct epoch that is a LEXICOGRAPHIC linear
+    # extension, not the product partial order, so their incremental
+    # retraction streams would be silently wrong for Pair times. Fail
+    # loudly instead (the reference's grouped operators are generic over
+    # lattices, src/operators/reduce.rs:29-101; lattice-correct Spark
+    # variants would accumulate per down-set like ``at_time`` — future
+    # work, tracked in SURVEY §2.6).
+    # ------------------------------------------------------------------ #
+
+    def _no_partial_order(self, op: str):
+        raise NotImplementedError(
+            f"{op} on BiTemporalCollection: the total-order grouped kernels "
+            "order struct epochs lexicographically (a linear extension, not "
+            "the product partial order) and would emit incorrect retraction "
+            "streams. Accumulate a down-set with at_time(e1, e2) and group "
+            "the resulting plain DataFrame, or flatten to a single epoch "
+            "first."
+        )
+
+    def count(self, *a, **k):  # noqa: D102
+        self._no_partial_order("count")
+
+    def threshold(self, *a, **k):  # noqa: D102
+        self._no_partial_order("threshold")
+
+    def distinct(self, *a, **k):  # noqa: D102
+        self._no_partial_order("distinct")
+
+    def reduce(self, *a, **k):  # noqa: D102
+        self._no_partial_order("reduce")
+
+    def reduce_min(self, *a, **k):  # noqa: D102
+        self._no_partial_order("reduce_min")
+
+    def reduce_max(self, *a, **k):  # noqa: D102
+        self._no_partial_order("reduce_max")
+
+    def top_k(self, *a, **k):  # noqa: D102
+        self._no_partial_order("top_k")
+
     def at_time(self, e1: int, e2: int) -> DataFrame:
         """The collection's contents AT a pair time: accumulate every update
         whose time is <= (e1, e2) in the partial order — updates at

@@ -168,6 +168,34 @@ def reduce_extremum(
     return DiffCollection(additions.unionByName(retractions))
 
 
+def _require_natural_ascending(
+    order_by: Sequence[Column], value_cols: Sequence[str]
+) -> None:
+    """The general (multi-epoch) top-k kernel ranks by the reference's
+    sorted-input contract — the natural ASCENDING order of the value columns
+    (src/operators/reduce.rs:40-42) — and cannot honor any other ``order_by``.
+    Rather than silently returning ascending results for, say, a descending
+    request, fail loudly with the two escape hatches."""
+
+    def _expr(c: Column) -> str:
+        s = str(c)
+        return s[len("Column<'"):-2] if s.startswith("Column<'") else s
+
+    exprs = [_expr(c) for c in order_by]
+    ok = len(exprs) == len(value_cols) and all(
+        e == v or e.startswith(f"{v} ASC") for e, v in zip(exprs, value_cols)
+    )
+    if not ok:
+        raise ValueError(
+            "top_k general (multi-epoch) path ranks ONLY by the natural "
+            f"ascending order of the value columns {list(value_cols)}; got "
+            f"order_by={exprs}. Either pre-map the payload so ascending "
+            "natural order IS the desired ranking (e.g. negate a column for "
+            "descending), or pass single_epoch=True if every update shares "
+            "one epoch."
+        )
+
+
 def top_k(
     coll: DiffCollection,
     keys: Sequence[str],
@@ -184,13 +212,14 @@ def top_k(
     — on multi-epoch input it would stamp per-value min-epochs with no
     retractions. For evolving collections pass ``single_epoch=False``, which
     routes through the general pandas reduce kernel (full retraction deltas);
-    there ``order_by`` is ignored and values rank by the natural ascending
-    order of the value columns (the reference's sorted-input contract,
-    src/operators/reduce.rs:40-42).
+    that kernel ranks by the natural ascending order of the value columns
+    (the reference's sorted-input contract, src/operators/reduce.rs:40-42)
+    and RAISES if ``order_by`` requests anything else.
     """
     keys = list(keys)
     if not single_epoch:
         value_cols = [c for c in coll.payload_columns if c not in keys]
+        _require_natural_ascending(order_by, value_cols)
         dtypes = dict(coll.df.dtypes)
         out_schema = ", ".join(f"{c} {dtypes[c]}" for c in value_cols)
 

@@ -14,11 +14,12 @@ import threading
 
 from pyspark.sql import SparkSession
 
-# Serializes the persistent-RDD-map diff inside tracked_local_checkpoint:
-# with a concurrent job that persists/checkpoints (streaming foreachBatch
-# thread, parallel driver threads), an unguarded diff can capture ANOTHER
-# job's RDD and release_checkpoint would later unpersist a live
-# lineage-truncated RDD — unrecoverable for that job.
+# Serializes EVERY tracked_local_checkpoint (the checkpoint call itself plus
+# the persistent-RDD-map snapshots around it): with a concurrent job that
+# persists/checkpoints (streaming foreachBatch thread, parallel driver
+# threads), an unguarded map diff can capture ANOTHER job's RDD and
+# release_checkpoint would later unpersist a live lineage-truncated RDD —
+# unrecoverable for that job.
 _ckpt_lock = threading.Lock()
 
 
@@ -101,20 +102,24 @@ def tracked_local_checkpoint(df, eager: bool = True):
     plan shapes without a direct handle.
     """
     spark = df.sparkSession
-    out = df.localCheckpoint(eager=eager)
-    try:
-        analyzed = out._jdf.queryExecution().analyzed()
-        jrdd = analyzed.rdd()
-        out._ckpt_rdds = [jrdd]
-        return out
-    except Exception:
-        pass
+    # The lock wraps the ONE localCheckpoint call plus the map snapshots
+    # around it, so even when the plan-handle resolution fails the fallback
+    # diff brackets the very checkpoint that created the RDD — never a
+    # second checkpoint (which would leak the first's persisted RDD), and
+    # never a window in which another (locked) caller's checkpoint could be
+    # captured. The lock is driver-side and cheap next to the checkpoint job.
     with _ckpt_lock:
         before = {rid for rid, _ in _persistent_entries(spark)}
         out = df.localCheckpoint(eager=eager)
-        out._ckpt_rdds = [
-            jrdd for rid, jrdd in _persistent_entries(spark) if rid not in before
-        ]
+        try:
+            analyzed = out._jdf.queryExecution().analyzed()
+            out._ckpt_rdds = [analyzed.rdd()]
+        except Exception:
+            out._ckpt_rdds = [
+                jrdd
+                for rid, jrdd in _persistent_entries(spark)
+                if rid not in before
+            ]
     return out
 
 

@@ -110,3 +110,25 @@ def test_total_order_embedding(spark):
     )
     assert rows_of(coll.at_time(1, 0)) == [("x", 2)]
     assert rows_of(coll.at_time(2, 0)) == [("x", 1)]
+
+
+def test_grouped_operators_fail_loudly_on_pair_times(spark):
+    # The inherited grouped kernels order epochs with total-order machinery —
+    # a lexicographic linear extension of the product order — so on Pair
+    # times they must raise rather than silently emit wrong retractions.
+    import pytest
+
+    coll = BiTemporalCollection.from_pairs(
+        spark, [("a", 0, 1, 1), ("a", 1, 0, 1)], "k string"
+    )
+    for call in (
+        lambda: coll.count(["k"]),
+        lambda: coll.distinct(),
+        lambda: coll.threshold(["k"], lambda w: w),
+        lambda: coll.reduce(["k"], lambda k, vs: vs, "v long"),
+        lambda: coll.reduce_min(["k"], "k"),
+        lambda: coll.reduce_max(["k"], "k"),
+        lambda: coll.top_k(["k"], [F.col("k")], 1),
+    ):
+        with pytest.raises(NotImplementedError, match="partial order"):
+            call()

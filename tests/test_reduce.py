@@ -114,3 +114,14 @@ def test_degree_distribution(spark):
     degrees = edges.map(F.col("src")).count(["src"], alias="degree")
     dist = degrees.map(F.col("degree")).count(["degree"], alias="n_nodes")
     assert dist.updates() == [(1, 1, 0, 1), (2, 2, 0, 1)]
+
+
+def test_top_k_general_path_rejects_non_natural_order(spark):
+    # The multi-epoch kernel ranks by the natural ascending value order only;
+    # a descending request must raise instead of silently returning ascending
+    # results (the pre-guard behavior).
+    import pytest
+
+    coll = c(spark, [(1, 10, 0, 1), (1, 20, 1, 1)])
+    with pytest.raises(ValueError, match="natural"):
+        coll.top_k(["k"], [F.col("v").desc()], k=1, single_epoch=False)
