@@ -9,7 +9,12 @@ per-query timings additionally stream to stderr as they finish.
 Components (all in BENCH_FULL.json; condensed subset in stdout):
 
 - ``queries``: per-query wall seconds for every registered query at
-  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+  min of TWO interleaved passes so the first queries don't bill session warmup.
+- ``incremental``: maintenance of pre-loaded arranged state under small delta
+  batches (CountMaintainer over a 10M-key trace; in-memory DeltaJoin over
+  5M rows/side) at batch sizes 1/1k/100k/1M — per-round latency and per-update
+  cost vs the reference's README.md:150-214 anchors.
 - ``flagship``: the incremental join+group+iterate transcript pipeline
   (turns/sec) at local[$SPARK_GRAFT_CPUS], best of 2 after a warmup run
   (this sandbox VM shows 5-10x intermittent host-noise spikes; min-of-N
@@ -97,6 +102,170 @@ def _calibrate_shuffle(spark, cores: int) -> float:
     return n / best
 
 
+def run_inner_incremental(cores: int) -> None:
+    """The incremental-update benchmark: the engine's core value prop —
+    maintaining large arranged state under small delta batches at O(delta)
+    per round. Mirrors the reference's headline measurements
+    (README.md:150-214: 228 µs/round at batch 1 on a pre-loaded degree count;
+    ~5 µs/update at batch 100k; BASELINE.md rows 11-12).
+
+    Two stages, each freshly seeded per batch size so every group measures
+    its own steady state (one in-window compaction included — the amortized
+    spine merge is part of the per-round cost):
+
+    - ``count``: CountMaintainer over a 10M-key count trace; rounds of
+      1 / 1k / 100k / 1M-update deltas (~20% retractions).
+    - ``join``: in-memory DeltaJoin seeded with 5M rows per side over a 1M
+      keyspace (~5 matches/key/side); one-sided delta rounds.
+
+    Micro-batch floor: a driver round costs ~2 jobs (delta consolidation
+    checkpoint + output action), so batch-1 reports the LATENCY floor of a
+    micro-batch engine — the reference's 228 µs/round is a per-record
+    dataflow's number; the honest comparison at batch-1 is round latency,
+    and at batch>=100k per-update cost, where job overhead amortizes away.
+    """
+    from pyspark.sql import functions as F
+
+    from differential_dataflow_spark.session import get_spark, release_all_cached
+    from differential_dataflow_spark.streaming.join import DeltaJoin
+    from differential_dataflow_spark.streaming.maintain import CountMaintainer
+
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        app_name=f"incr-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    res: dict = {"cores": cores}
+    # Warm executor threads / codegen BEFORE the floor measurement — the
+    # first jobs of a session bill startup, not scheduling.
+    spark.range(10_000_000).groupBy((F.col("id") % 100).alias("g")).count().count()
+    t0 = time.time()
+    for _ in range(5):
+        spark.range(1).count()
+    res["noop_job_ms"] = round((time.time() - t0) / 5 * 1000, 1)
+
+    def drive(process, make_delta, batch_size, rounds) -> dict:
+        """Time `rounds` delta rounds. This VM shows 2-5x intermittent host
+        noise, so alongside the sum-based mean the artifact carries the raw
+        per-round times, the median (robust steady-state) and the min (the
+        engine floor); compaction rounds are included — their spike is the
+        amortized spine-merge cost and is visible in the times list."""
+        process(make_delta(batch_size, 0))  # warmup round (untimed)
+        times = []
+        for r in range(1, rounds + 1):
+            t0 = time.time()
+            process(make_delta(batch_size, r))
+            times.append(time.time() - t0)
+        total = sum(times)
+        med = sorted(times)[len(times) // 2]
+        return {
+            "rounds": rounds,
+            "sec_total": round(total, 3),
+            "round_times": [round(t, 3) for t in times],
+            "sec_per_round_min": round(min(times), 4),
+            "sec_per_round_median": round(med, 4),
+            "sec_per_round_mean": round(total / rounds, 4),
+            "updates_per_sec": round(batch_size * rounds / total, 1),
+            "updates_per_sec_median_round": round(batch_size / med, 1),
+            "us_per_update": round(total / (batch_size * rounds) * 1e6, 3),
+            "us_per_update_median": round(med / batch_size * 1e6, 3),
+            "us_per_update_core": round(
+                total / (batch_size * rounds) * 1e6 * cores, 3
+            ),
+        }
+
+    NKEYS = 10_000_000
+
+    def mk_count_delta(n, r):
+        return spark.range(n).select(
+            F.pmod(F.xxhash64(F.col("id") + F.lit(r * 1_000_003)), F.lit(NKEYS)).alias("k"),
+            F.when(
+                F.pmod(F.xxhash64(F.col("id") * 7 + F.lit(r)), F.lit(5)) == 0, -1
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("diff"),
+        )
+
+    state_root = tempfile.mkdtemp(prefix="incr_bench_state_")
+    # Two state backends: the in-memory spine (latency floor) and the
+    # bucket-partitioned parquet base (the state-bigger-than-memory shape —
+    # small-delta rounds read only touched buckets, so per-round I/O is
+    # O(|Δ|/keyspace · state)).
+    for mode, state_dir in (("count", None), ("count_bucketed", state_root + "/cnt")):
+        res[mode] = {"state_rows": NKEYS}
+        for batch_size, rounds in ((1, 12), (1_000, 12), (100_000, 8), (1_000_000, 4)):
+            cm = CountMaintainer(
+                spark, keys=["k"], alias="n", compact_every=8, state_dir=state_dir
+            )
+            cm.seed_counts(
+                spark.range(NKEYS).select(
+                    F.col("id").alias("k"),
+                    (F.lit(1) + F.pmod("id", F.lit(7))).alias("count"),
+                )
+            )
+            res[mode][f"batch_{batch_size}"] = drive(
+                lambda d: cm.process_batch(d).count(), mk_count_delta, batch_size, rounds
+            )
+            cm.release()
+            release_all_cached(spark)
+    shutil.rmtree(state_root, ignore_errors=True)
+
+    NROWS, KEYSPACE = 5_000_000, 1_000_000
+    res["join"] = {"state_rows_per_side": NROWS, "keyspace": KEYSPACE}
+    for batch_size, rounds in ((1, 12), (1_000, 12), (100_000, 8)):
+        dj = DeltaJoin(spark, None, on=["k"], compact_every=8)
+        for side, vcol in (("left", "v1"), ("right", "v2")):
+            dj.seed(
+                side,
+                spark.range(NROWS).select(
+                    F.pmod(F.xxhash64("id"), F.lit(KEYSPACE)).alias("k"),
+                    F.col("id").alias(vcol),
+                    F.lit(1).cast("long").alias("diff"),
+                ),
+            )
+
+        def mk_join_delta(n, r):
+            return spark.range(n).select(
+                F.pmod(F.xxhash64(F.col("id") + F.lit(r * 999_983)), F.lit(KEYSPACE)).alias("k"),
+                (F.col("id") + F.lit(r * 10_000_019)).alias("v1"),
+                F.when(
+                    F.pmod(F.xxhash64(F.col("id") * 3 + F.lit(r)), F.lit(5)) == 0, -1
+                )
+                .otherwise(1)
+                .cast("long")
+                .alias("diff"),
+            )
+
+        res["join"][f"batch_{batch_size}"] = drive(
+            lambda d: dj.process_batch(d, None).count(), mk_join_delta, batch_size, rounds
+        )
+        for tv in (dj._view or {}).values():
+            tv.release()
+        release_all_cached(spark)
+
+    print("INNER_INCR_JSON:" + json.dumps(res))
+    spark.stop()
+
+
+def incr_subprocess(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--inner-incr", str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=False,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("INNER_INCR_JSON:"):
+            return json.loads(line[len("INNER_INCR_JSON:"):])
+    raise RuntimeError(
+        f"inner incremental bench failed (cores={cores}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
 def run_inner(cores: int, n_convs: int) -> None:
     from differential_dataflow_spark.flagship import flagship_pipeline
     from differential_dataflow_spark.session import get_spark
@@ -136,9 +305,14 @@ def main() -> None:
         i = sys.argv.index("--inner")
         run_inner(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
         return
+    if "--inner-incr" in sys.argv:
+        i = sys.argv.index("--inner-incr")
+        run_inner_incremental(int(sys.argv[i + 1]))
+        return
 
     do_scaling = "--no-scaling" not in sys.argv
     do_queries = "--scaling-only" not in sys.argv
+    do_incremental = do_scaling and "--no-incremental" not in sys.argv
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_secs: dict[str, float] = {}
@@ -150,13 +324,24 @@ def main() -> None:
         )
 
         spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
-        for name, fn in QUERIES.items():
-            release_all_cached(spark)  # prior query's leaked state never bills here
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            query_secs[name] = round(time.time() - t0, 3)
-            release_all_cached(spark)
-            print(f"query {name}: {query_secs[name]}s", file=sys.stderr, flush=True)
+        # Two full interleaved passes, min per query: pass 1 pays session/JIT
+        # warmup and any host-noise window it lands in; without the second
+        # pass the FIRST queries bill the whole session warmup (r3: 8.96s
+        # reported vs 1.2s isolated for the lead query — a 7x artifact).
+        times: dict[str, list[float]] = {n: [] for n in QUERIES}
+        for pass_i in range(2):
+            for name, fn in QUERIES.items():
+                release_all_cached(spark)  # prior query's leaked state never bills here
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                times[name].append(time.time() - t0)
+                release_all_cached(spark)
+                print(
+                    f"query {name} (pass {pass_i}): {times[name][-1]:.3f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        query_secs = {n: round(min(ts), 3) for n, ts in times.items()}
         spark.stop()
 
     result: dict = {
@@ -167,6 +352,9 @@ def main() -> None:
         "queries_total_sec": round(sum(query_secs.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    if do_incremental:
+        result["incremental"] = incr_subprocess(CPUS)
 
     if do_scaling:
         # Interleave the two parallelism levels in time and take the minimum
@@ -250,6 +438,32 @@ def main() -> None:
         ),
         "full_results": "BENCH_FULL.json",
     }
+    if do_incremental:
+        inc = result["incremental"]
+        compact["incremental"] = {
+            "noop_job_ms": inc["noop_job_ms"],
+            "count_state_rows": inc["count"]["state_rows"],
+            "count_batch1_round_ms": round(
+                inc["count"]["batch_1"]["sec_per_round_mean"] * 1000, 1
+            ),
+            "count_bucketed_batch1_round_ms": round(
+                inc["count_bucketed"]["batch_1"]["sec_per_round_mean"] * 1000, 1
+            ),
+            "count_100k_upd_per_sec": inc["count"]["batch_100000"]["updates_per_sec"],
+            "count_1m_us_per_update": inc["count"]["batch_1000000"]["us_per_update"],
+            "count_1m_us_per_update_core": inc["count"]["batch_1000000"][
+                "us_per_update_core"
+            ],
+            "join_state_rows_per_side": inc["join"]["state_rows_per_side"],
+            "join_batch1_round_ms": round(
+                inc["join"]["batch_1"]["sec_per_round_mean"] * 1000, 1
+            ),
+            "join_100k_upd_per_sec": inc["join"]["batch_100000"]["updates_per_sec"],
+            "join_100k_us_per_update_core": inc["join"]["batch_100000"][
+                "us_per_update_core"
+            ],
+        }
+
     if do_scaling:
         fs = result["flagship"]
         compact["flagship"] = {

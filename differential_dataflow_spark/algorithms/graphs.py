@@ -354,6 +354,7 @@ def bidirectional_shortest_path(
     source: int,
     target: int,
     max_iters: int = 10_000,
+    small_frontier_rows: int = 20_000,
 ) -> DataFrame:
     """Shortest hop distance source -> target via BIDIRECTIONAL search —
     the reference's bijkstra (src/algorithms/graphs/bijkstra.rs:24-60): two
@@ -361,93 +362,109 @@ def bidirectional_shortest_path(
     edges and backward from the target along reversed edges; the answer is
     the minimum of fwd_dist + bwd_dist over nodes seen by both.
 
-    Each round expands the SMALLER frontier (the reference alternates; the
-    smaller-side rule is the standard work-optimal variant) and terminates
-    once fwd_depth + bwd_depth >= best-known distance — no shorter path can
-    still appear. Returns a 1-row DataFrame (source, target, dist); empty if
-    unreachable within max_iters.
+    BOTH directions expand every round inside ONE Spark job: the edge
+    relation is tagged by direction (dir 0 = forward, dir 1 = reversed) so
+    the two expansions are a single join, and the meet test rides the same
+    job (new frontier left-joined to the direction-FLIPPED visited set).
+    Rounds therefore cost one action each and the round count is ~dist/2
+    instead of dist. While frontiers are small (<= ``small_frontier_rows``
+    total) the round's output is pulled to the driver and re-broadcast as a
+    local relation — the small-frontier tail of operators/iterate.py — so no
+    checkpoint job is paid; large frontiers switch to checkpointed parts
+    (one extra job per round), which is the shape that scales.
+
+    Terminates once best <= depth + 1: every future meet costs at least
+    depth+1 on its newly-expanded side. Returns a 1-row DataFrame
+    (source, target, dist); empty if unreachable within max_iters.
     """
     spark = edges.df.sparkSession
-    # No edge dedup: duplicate edges only duplicate candidates, and both the
-    # per-node min aggregation and the anti-join against the visited set
-    # absorb them — a distinct here would be one extra full exchange.
-    fwd_edges = _tckpt(edges.df.select("src", "dst"))
-    bwd_edges = _tckpt(
-        fwd_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # No edge dedup: duplicate edges only duplicate candidates, and the
+    # per-(dir, node) min aggregation absorbs them — a distinct here would
+    # be one extra full exchange.
+    ed = edges.df.select("src", "dst")
+    tagged = _tckpt(
+        ed.select(F.lit(0).alias("dir"), "src", "dst").unionByName(
+            ed.select(
+                F.lit(1).alias("dir"),
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+            )
+        )
     )
-    # Visited sets accumulate as lists of checkpointed, pairwise-disjoint
-    # frontier parts (each part is anti-joined against the union of earlier
-    # parts, and each holds one min-dist row per node) — the lazy union is
-    # free to extend and nothing is ever re-checkpointed.
-    fwd_parts = [_tckpt(spark.createDataFrame([(source, 0)], "node long, fdist long"))]
-    bwd_parts = [_tckpt(spark.createDataFrame([(target, 0)], "node long, bdist long"))]
-    spent: list[DataFrame] = [fwd_edges, bwd_edges, fwd_parts[0], bwd_parts[0]]
-    f_frontier, b_frontier = fwd_parts[0], bwd_parts[0]
-    f_n = b_n = 1  # frontier sizes carried as ints — known from last round
-    f_depth = b_depth = 0
+    spent: list[DataFrame] = [tagged]
+    # Visited set accumulates as pairwise-disjoint (dir, node, dist) parts:
+    # each holds the min dist of nodes first reached that round.
+    frontier = spark.createDataFrame(
+        [(0, source, 0), (1, target, 0)], "dir int, node long, dist long"
+    )
+    parts: list[DataFrame] = [frontier]
+    depth = 0
+    f_n = b_n = 1
     best = 0 if source == target else None
+    small = True
 
-    def _union(parts):
-        out = parts[0]
-        for p in parts[1:]:
+    def _union(dfs):
+        out = dfs[0]
+        for p in dfs[1:]:
             out = out.unionByName(p)
         return out
 
     for _ in range(max_iters):
-        if best is not None and f_depth + b_depth + 1 >= best:
-            break
+        if best is not None and best <= depth + 1:
+            break  # any future meet pays >= depth+1 on its new side
         if f_n == 0 or b_n == 0:
-            break  # one side exhausted: no (shorter) path exists
-        expand_fwd = f_n <= b_n
-        if expand_fwd:
-            cand = (
-                f_frontier.withColumnRenamed("node", "src")
-                .join(fwd_edges, "src")
-                .select(F.col("dst").alias("node"), (F.col("fdist") + 1).alias("fdist"))
-                .groupBy("node")
-                .agg(F.min("fdist").alias("fdist"))
+            break  # one side exhausted its component: no shorter path exists
+        fr = F.broadcast(frontier) if small else frontier
+        cand = (
+            fr.withColumnRenamed("node", "src")
+            .join(tagged, ["dir", "src"])
+            .select("dir", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("dir", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        visited = _union(parts)
+        new = cand.join(visited.select("dir", "node"), ["dir", "node"], "left_anti")
+        depth += 1
+        if small:
+            # One job: collect the new frontier WITH its meet distances; the
+            # flipped visited side has <= 1 row per (dir, node), so the left
+            # join preserves row count.
+            flipped = visited.unionByName(new).select(
+                (1 - F.col("dir")).alias("dir"), "node", F.col("dist").alias("odist")
             )
-            new = _tckpt(
-                cand.join(_union(fwd_parts).select("node"), "node", "left_anti")
+            rows = (
+                new.join(flipped, ["dir", "node"], "left")
+                .select("dir", "node", "dist", "odist")
+                .collect()
             )
-            fwd_parts.append(new)
-            spent.append(new)
-            f_frontier, f_depth = new, f_depth + 1
-            # ONE action folds the frontier size and the meet-min: the other
-            # side's visited set has one row per node, so count(*) over the
-            # left join is |new|.
-            row = (
-                new.join(_union(bwd_parts), "node", "left")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min(F.col("fdist") + F.col("bdist")).alias("m"),
-                )
-                .collect()[0]
+            f_n = sum(1 for r in rows if r["dir"] == 0)
+            b_n = len(rows) - f_n
+            meets = [r["dist"] + r["odist"] for r in rows if r["odist"] is not None]
+            m = min(meets) if meets else None
+            frontier = spark.createDataFrame(
+                [(r["dir"], r["node"], r["dist"]) for r in rows],
+                "dir int, node long, dist long",
             )
-            f_n, m = int(row["n"]), row["m"]
+            small = len(rows) <= small_frontier_rows
         else:
-            cand = (
-                b_frontier.withColumnRenamed("node", "src")
-                .join(bwd_edges, "src")
-                .select(F.col("dst").alias("node"), (F.col("bdist") + 1).alias("bdist"))
-                .groupBy("node")
-                .agg(F.min("bdist").alias("bdist"))
+            frontier = _tckpt(new)
+            spent.append(frontier)
+            flipped = visited.unionByName(frontier).select(
+                (1 - F.col("dir")).alias("dir"), "node", F.col("dist").alias("odist")
             )
-            new = _tckpt(
-                cand.join(_union(bwd_parts).select("node"), "node", "left_anti")
-            )
-            bwd_parts.append(new)
-            spent.append(new)
-            b_frontier, b_depth = new, b_depth + 1
             row = (
-                new.join(_union(fwd_parts), "node", "left")
+                frontier.join(flipped, ["dir", "node"], "left")
                 .agg(
-                    F.count("*").alias("n"),
-                    F.min(F.col("fdist") + F.col("bdist")).alias("m"),
+                    F.sum((F.col("dir") == 0).cast("long")).alias("nf"),
+                    F.sum((F.col("dir") == 1).cast("long")).alias("nb"),
+                    F.min(F.col("dist") + F.col("odist")).alias("m"),
                 )
                 .collect()[0]
             )
-            b_n, m = int(row["n"]), row["m"]
+            f_n, b_n = int(row["nf"] or 0), int(row["nb"] or 0)
+            m = row["m"]
+            small = (f_n + b_n) <= small_frontier_rows
+        parts.append(frontier)
         if m is not None:
             best = int(m) if best is None else min(best, int(m))
     rows = [] if best is None else [(source, target, best)]

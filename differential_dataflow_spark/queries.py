@@ -956,9 +956,14 @@ def tpch_q4(spark, sf_dir):
     li = _c(spark, sf_dir, "lineitem").map(
         F.col("l_orderkey"), F.col("l_shipdate")
     )
+    # lineitem streams; the date-filtered order keys broadcast (the other
+    # orientation risks the 6M-row fact on the build side — see tpch_q7).
     late = (
-        orders.map(l_orderkey=F.col("o_orderkey"), od=F.col("o_orderdate"))
-        .join(li, on=["l_orderkey"])
+        li.join(
+            orders.map(l_orderkey=F.col("o_orderkey"), od=F.col("o_orderdate")),
+            on=["l_orderkey"],
+            broadcast_other=True,
+        )
         .filter(F.col("l_shipdate") > F.col("od"))
         .map(o_orderkey=F.col("l_orderkey"))
         .distinct()
@@ -1011,9 +1016,13 @@ def tpch_q5(spark, sf_dir):
     nation = _c(spark, sf_dir, "nation").map(
         c_nation=F.col("n_nationkey"), n_name=F.col("n_name")
     )
+    # lineitem streams; the filtered orders⋈cust side broadcasts (the other
+    # orientation put the 6M-row fact on the build side — see tpch_q7).
+    oc = orders.join(cust, on=["o_custkey"], broadcast_other=True).map(
+        F.col("l_orderkey"), F.col("c_nation")
+    )
     joined = (
-        orders.join(cust, on=["o_custkey"], broadcast_other=True)
-        .join(li, on=["l_orderkey"])
+        li.join(oc, on=["l_orderkey"], broadcast_other=True)
         .join(supp, on=["l_suppkey"], broadcast_other=True)
         .filter(F.col("c_nation") == F.col("s_nation"))
         .join(nation, on=["c_nation"], broadcast_other=True)
@@ -1076,9 +1085,15 @@ def tpch_q7(spark, sf_dir):
         F.col("l_suppkey"),
         rev=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100),
     )
+    # lineitem is the STREAM side throughout: orders⋈cust shrinks to ~2/25 of
+    # orders and is broadcast into the fact scan (joining the other way put
+    # the 6M-row lineitem on the build side — a ~200MB broadcast that cost
+    # 2.4s of the 2.9s warm runtime).
+    oc = orders.join(cust, on=["o_custkey"], broadcast_other=True).map(
+        F.col("l_orderkey"), F.col("cust_nation")
+    )
     joined = (
-        orders.join(cust, on=["o_custkey"], broadcast_other=True)
-        .join(li, on=["l_orderkey"])
+        li.join(oc, on=["l_orderkey"], broadcast_other=True)
         .join(supp, on=["l_suppkey"], broadcast_other=True)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
@@ -1709,6 +1724,65 @@ def graph_wco_triangles(spark, sf_dir):
 
     edges = _event_edges(spark, sf_dir).df.select("src", "dst")
     return triangles(edges)
+
+
+@query(
+    "graph_delta_triangles",
+    """WITH e AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       )
+       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       FROM e e1
+       JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+)
+def graph_delta_triangles(spark, sf_dir):
+    """INCREMENTALLY maintained triangles — the dogs³ half_join delta
+    pipeline (dogsdogsdogs/src/operators/half_join.rs:1-33,
+    examples/delta_query.rs): the edge set arrives in three epochs, the
+    middle one both adding edges and RETRACTING a slice that epoch 1 added
+    prematurely (the slice is re-added with epoch 3's batch, so the final
+    edge multiset equals the oracle's). The accumulated update stream must
+    consolidate to exactly the batch triple-join of the final edges."""
+    from differential_dataflow_spark.streaming.delta_query import DeltaTriangles
+
+    edges = _event_edges(spark, sf_dir).df.select("src", "dst")
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    part_a = edges.filter(h == 0)
+    part_b = edges.filter(h == 1)
+    part_c = edges.filter(h == 2)
+    # X: a quarter of part C, fed early in epoch 1 and retracted in epoch 2.
+    x = part_c.filter(F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    one = F.lit(1).cast("long").alias(DIFF)
+    neg = F.lit(-1).cast("long").alias(DIFF)
+    epochs = [
+        part_a.select("src", "dst", one).unionByName(x.select("src", "dst", one)),
+        part_b.select("src", "dst", one).unionByName(x.select("src", "dst", neg)),
+        part_c.select("src", "dst", one),
+    ]
+    dt = DeltaTriangles(spark, compact_every=8)
+    outs = [dt.process_batch(delta) for delta in epochs]
+    acc = outs[0]
+    for out in outs[1:]:
+        acc = acc.unionByName(out)
+    result = (
+        acc.groupBy("a", "b", "c")
+        .agg(F.sum(DIFF).alias(DIFF))
+        .filter(F.col(DIFF) != 0)
+        .drop(DIFF)
+    )
+    # Materialize before releasing the traces/outputs the lazy plan reads.
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    result = tracked_local_checkpoint(result)
+    dt.release()
+    for out in outs:
+        release_checkpoint(out)
+    return result
 
 
 @query("graph_sequential_coloring")  # order-gated greedy — pytest oracle

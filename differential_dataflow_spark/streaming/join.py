@@ -71,21 +71,36 @@ class DeltaJoin:
     def __init__(
         self,
         spark: SparkSession,
-        state_dir: str,
+        state_dir: str | None,
         on: Sequence[str],
         compact_every: int = 8,
     ):
+        """``state_dir=None`` selects the IN-MEMORY spine: each side's trace
+        is a ``streaming.maintain.TraceView`` (persisted base + sealed delta
+        parts) instead of a parquet Arrangement, so a round re-reads no
+        files — the hot-tier shape for latency-sensitive micro-batch loops;
+        the parquet mode remains the durable/resumable tier."""
+        from differential_dataflow_spark.streaming.maintain import TraceView
+
         self.spark = spark
         self.on = list(on)
-        self.root = Path(state_dir)
+        self.root = Path(state_dir) if state_dir is not None else None
         self.compact_every = compact_every
         self._arr: dict[str, Arrangement | None] = {"left": None, "right": None}
+        self._view: dict[str, TraceView] | None = None
+        if self.root is None:
+            self._view = {
+                "left": TraceView(spark, compact_every=compact_every),
+                "right": TraceView(spark, compact_every=compact_every),
+            }
         self._batch = 0
 
     def _trace(self, side: str) -> DataFrame | None:
         """The side's history as ``(key..., payload..., diff)`` rows (epochs
         dropped — per-epoch granularity is the trace's business, the join
         only multiplies accumulated weights), or None if nothing sealed."""
+        if self._view is not None:
+            return self._view[side].view()
         arr = self._arr[side]
         if arr is None:
             return None
@@ -95,6 +110,15 @@ class DeltaJoin:
         return df.drop(EPOCH)
 
     def _append(self, side: str, delta: DataFrame) -> None:
+        if self._view is not None:
+            from differential_dataflow_spark.session import (
+                tracked_local_checkpoint,
+            )
+
+            tv = self._view[side]
+            tv.maybe_compact()
+            tv.append(tracked_local_checkpoint(delta))
+            return
         if self._arr[side] is None:
             self._arr[side] = Arrangement(
                 self.spark, str(self.root / side), key=self.on
@@ -105,6 +129,15 @@ class DeltaJoin:
         )
         if len(arr.batches) >= self.compact_every:
             arr.compact(since=self._batch)
+
+    def seed(self, side: str, df: DataFrame) -> None:
+        """Pre-load one side's trace with existing state ``(key..., payload...,
+        diff)`` — the bulk-load that precedes incremental maintenance
+        (one-time O(state); key-partitioned so later lookups co-locate)."""
+        if self._view is not None:
+            self._view[side].seed(df, key=self.on)
+            return
+        self._append(side, df)
 
     def process_batch(
         self, delta_left: DataFrame | None, delta_right: DataFrame | None

@@ -11,11 +11,14 @@ incremental operator contract:
 - ``stateful_threshold`` / ``stateful_distinct``: running accumulation through
   a weight-transform, emitting the difference ``f(new) − f(old)``
   (reference src/operators/threshold.rs:20-195).
-- ``stateful_reduce``: per-key consolidated input multiset + previous output
-  held in state; per batch the user logic recomputes the output from the
-  sorted (value, weight) list and the kernel emits output deltas — the
-  retraction recipe of reference src/operators/reduce.rs:280-287
-  (``change.extend(output.drain(..).map(negate))``).
+- ``stateful_reduce_general`` / ``stateful_reduce``: per-key consolidated
+  input multiset + previous output held in state; per batch the user logic
+  recomputes the output from the sorted (value, weight) list and the kernel
+  emits output deltas — the retraction recipe of reference
+  src/operators/reduce.rs:280-287
+  (``change.extend(output.drain(..).map(negate))``). The general form is
+  payload-generic (arbitrary struct values, matching the batch kernel's
+  contract); the historical single-long form wraps it.
 - ``stateful_upsert``: last-writer-wins per key with synthesized retraction of
   the previous value (reference src/operators/arrange/upsert.rs:1-33).
 
@@ -119,24 +122,33 @@ def stateful_distinct(
     )
 
 
-def stateful_reduce(
+def stateful_reduce_general(
     updates: DataFrame,
     keys: Sequence[str],
     key_schema: str,
-    value_col: str,
-    logic: Callable[[list[tuple[int, int]]], list[tuple[int, int]]],
-    out_value_col: str = "out_value",
+    value_cols: Sequence[str],
+    value_schema: str,
+    logic: Callable[[list[tuple[tuple, int]]], list[tuple[tuple, int]]],
+    out_schema: str,
 ) -> DataFrame:
-    """General grouped reduce with long values: state = consolidated
-    (value -> weight) multiset + previous output multiset; per batch apply
-    ``logic`` to the sorted positive (value, weight) list and emit output
-    deltas. Values/weights are longs (arrays in the state store); richer
-    payloads belong in the batch reduce kernel."""
+    """PAYLOAD-GENERIC streaming reduce matching the batch kernel's contract
+    (reference ``reduce_core``, src/operators/reduce.rs:240-341): state =
+    consolidated input multiset of value TUPLES + previous output multiset
+    (both as ``array<struct<...>>`` + weight arrays in the state store); per
+    batch the user logic sees the consolidated, value-sorted
+    ``(value_tuple, weight)`` list and the kernel emits output deltas — the
+    ``change.extend(output.drain(..).map(negate))`` retraction recipe.
+
+    ``value_schema`` / ``out_schema`` are struct field lists, e.g.
+    ``"v long, tag string"``. Output columns = keys + out fields + diff.
+    """
     keys = list(keys)
-    out_schema = f"{key_schema}, {out_value_col} long, {DIFF} long"
+    value_cols = list(value_cols)
+    out_cols = [f.strip().split()[0] for f in out_schema.split(",")]
+    full_out = f"{key_schema}, {out_schema}, {DIFF} long"
     state_schema = (
-        "in_vals array<long>, in_wts array<long>, out_vals array<long>, "
-        "out_wts array<long>"
+        f"in_vals array<struct<{value_schema}>>, in_wts array<long>, "
+        f"out_vals array<struct<{out_schema}>>, out_wts array<long>"
     )
 
     def kernel(
@@ -144,31 +156,34 @@ def stateful_reduce(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             in_vals, in_wts, out_vals, out_wts = state.get
-            multiset = dict(zip(list(in_vals), list(in_wts)))
-            prev_out = dict(zip(list(out_vals), list(out_wts)))
+            multiset = {tuple(v): w for v, w in zip(in_vals, in_wts)}
+            prev_out = {tuple(v): w for v, w in zip(out_vals, out_wts)}
         else:
             multiset, prev_out = {}, {}
         for pdf in pdfs:
-            for v, d in zip(pdf[value_col].tolist(), pdf[DIFF].tolist()):
-                w = multiset.get(v, 0) + int(d)
+            cols = [pdf[c].tolist() for c in value_cols]
+            for row in zip(*cols, pdf[DIFF].tolist()):
+                v, d = tuple(row[:-1]), int(row[-1])
+                w = multiset.get(v, 0) + d
                 if w:
                     multiset[v] = w
                 else:
                     multiset.pop(v, None)
         sorted_input = sorted((v, w) for v, w in multiset.items() if w > 0)
-        new_out: dict[int, int] = {}
+        new_out: dict[tuple, int] = {}
         if sorted_input:
             for v, w in logic(sorted_input):
+                v = tuple(v)
                 new_out[v] = new_out.get(v, 0) + w
         k = _key_tuple(key)
         rows = []
         for v, w in new_out.items():
             d = w - prev_out.get(v, 0)
             if d:
-                rows.append(k + (v, d))
+                rows.append(k + v + (d,))
         for v, w in prev_out.items():
             if v not in new_out and w:
-                rows.append(k + (v, -w))
+                rows.append(k + v + (-w,))
         state.update(
             (
                 list(multiset.keys()),
@@ -178,10 +193,39 @@ def stateful_reduce(
             )
         )
         if rows:
-            yield pd.DataFrame(rows, columns=keys + [out_value_col, DIFF])
+            yield pd.DataFrame(rows, columns=keys + out_cols + [DIFF])
 
     return updates.groupBy(*keys).applyInPandasWithState(
-        kernel, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        kernel, full_out, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stateful_reduce(
+    updates: DataFrame,
+    keys: Sequence[str],
+    key_schema: str,
+    value_col: str,
+    logic: Callable[[list[tuple[int, int]]], list[tuple[int, int]]],
+    out_value_col: str = "out_value",
+) -> DataFrame:
+    """Single-long-value convenience wrapper over
+    :func:`stateful_reduce_general` (the historical API: ``logic`` sees
+    ``[(value, weight), ...]`` with bare longs)."""
+
+    def lifted(sorted_input):
+        out = logic([(v[0], w) for v, w in sorted_input])
+        return [
+            ((v if isinstance(v, tuple) else (v,)), w) for v, w in out
+        ]
+
+    return stateful_reduce_general(
+        updates,
+        keys,
+        key_schema,
+        [value_col],
+        f"{value_col} long",
+        lifted,
+        f"{out_value_col} long",
     )
 
 

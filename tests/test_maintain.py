@@ -1,0 +1,114 @@
+"""Maintenance-path tests: CountMaintainer and the in-memory DeltaJoin spine
+vs batch recomputation (the reference's count_total / join_core maintenance
+contracts, src/operators/count.rs:81-123, src/operators/join.rs:255-556)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark import DiffCollection
+from differential_dataflow_spark.streaming.join import DeltaJoin
+from differential_dataflow_spark.streaming.maintain import CountMaintainer
+
+
+import pytest
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_count_maintainer_matches_batch(spark, tmp_path, bucketed):
+    # Seed counts, then drive delta rounds (incl. retractions and a key that
+    # vanishes) across a compaction boundary; accumulated output must equal
+    # the -old/+new pairs of a from-scratch recompute per round. Runs on the
+    # in-memory spine AND the bucket-partitioned parquet base (pruned
+    # lookups + staged-swap compaction).
+    cm = CountMaintainer(
+        spark,
+        keys=["k"],
+        alias="n",
+        compact_every=2,
+        state_dir=str(tmp_path / "state") if bucketed else None,
+        n_buckets=4,
+    )
+    cm.seed_counts(
+        spark.createDataFrame([(0, 3), (1, 1), (2, 5)], "k long, count long")
+    )
+    state = {0: 3, 1: 1, 2: 5}
+    rounds = [
+        [(0, 1), (3, 1)],            # new key appears
+        [(1, -1), (0, 2)],           # key 1 vanishes
+        [(2, -2), (2, -3), (4, 7)],  # key 2 vanishes via two updates
+        [(1, 1)],                    # key 1 reappears (after compaction)
+    ]
+    for updates in rounds:
+        delta = spark.createDataFrame(updates, "k long, diff long")
+        got = sorted((r.k, r.n, r.diff) for r in cm.process_batch(delta).collect())
+        want = []
+        for k, d in updates:
+            state[k] = state.get(k, 0) + d
+        touched = {k for k, _ in updates}
+        prev = dict(state)
+        for k, d in updates:
+            prev[k] = prev.get(k, 0) - d
+        for k in sorted(touched):
+            if prev.get(k, 0) != state.get(k, 0):
+                if prev.get(k, 0):
+                    want.append((k, prev[k], -1))
+                if state.get(k, 0):
+                    want.append((k, state[k], 1))
+        assert got == sorted(want)
+    # final state view agrees too
+    got_state = {r.k: r.n for r in cm.counts().collect()}
+    assert got_state == {k: v for k, v in state.items() if v}
+    cm.release()
+
+
+def test_delta_join_in_memory_matches_batch(spark):
+    # The in-memory spine (state_dir=None) must replicate the parquet-backed
+    # DeltaJoin semantics: 4 epochs including retractions, compact_every=2.
+    l_epochs = [
+        [(0, 1, 1), (1, 5, 1)],
+        [(0, 2, 1)],
+        [(0, 1, -1)],
+        [(2, 9, 1)],
+    ]
+    r_epochs = [
+        [(0, 10, 1)],
+        [(1, 20, 1)],
+        [(0, 30, 1)],
+        [(0, 10, -1)],
+    ]
+    dj = DeltaJoin(spark, None, on=["k"], compact_every=2)
+    acc: dict[tuple, int] = {}
+    for le, re in zip(l_epochs, r_epochs):
+        dl = spark.createDataFrame(le, "k long, v1 long, diff long")
+        dr = spark.createDataFrame(re, "k long, v2 long, diff long")
+        out = dj.process_batch(dl, dr)
+        if out is not None:
+            for r in out.collect():
+                key = (r.k, r.v1, r.v2)
+                acc[key] = acc.get(key, 0) + r.diff
+    got = sorted((k + (d,)) for k, d in acc.items() if d != 0)
+
+    l_updates = [(k, v, e, d) for e, ep in enumerate(l_epochs) for (k, v, d) in ep]
+    r_updates = [(k, v, e, d) for e, ep in enumerate(r_epochs) for (k, v, d) in ep]
+    left = DiffCollection.from_updates(spark, l_updates, "k long, v1 long")
+    right = DiffCollection.from_updates(spark, r_updates, "k long, v2 long")
+    final = left.join(right, on=["k"]).consolidate_final().collect()
+    want = sorted((r.k, r.v1, r.v2, r.diff) for r in final)
+    assert got == want
+
+
+def test_delta_join_in_memory_seeded(spark):
+    # Bulk-load both sides, then a single delta round: output = ΔL ⋈ R only.
+    dj = DeltaJoin(spark, None, on=["k"])
+    dj.seed(
+        "left",
+        spark.createDataFrame([(0, 1, 1), (1, 2, 1)], "k long, v1 long, diff long"),
+    )
+    dj.seed(
+        "right",
+        spark.createDataFrame([(0, 10, 1), (0, 11, 1)], "k long, v2 long, diff long"),
+    )
+    dl = spark.createDataFrame([(0, 3, 1)], "k long, v1 long, diff long")
+    out = sorted((r.k, r.v1, r.v2, r.diff) for r in dj.process_batch(dl, None).collect())
+    assert out == [(0, 3, 10, 1), (0, 3, 11, 1)]

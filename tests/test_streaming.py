@@ -245,3 +245,52 @@ def test_streaming_native_window_aggs(spark, tmp_path):
     assert ("a", 2) in got2  # first session of a: 2 events within the gap
     assert ("a", 1) in got2  # the minute-40 event is its own session
     assert ("b", 1) in got2
+
+
+def test_stateful_reduce_general_struct_values(spark, tmp_path):
+    # Payload-generic streaming reduce (struct values: (v long, tag string)),
+    # differential vs the batch reduce kernel on the same updates — the
+    # reference's reduce_core contract (src/operators/reduce.rs:240-341).
+    from differential_dataflow_spark.streaming.kernels import (
+        stateful_reduce_general,
+    )
+
+    epochs = [
+        [(1, 5, "a", 1), (1, 9, "b", 1)],
+        [(1, 3, "c", 1), (2, 7, "a", 1)],
+        [(1, 3, "c", -1)],                  # retract the current minimum
+    ]
+
+    def keep_min(sorted_input):
+        return [(sorted_input[0][0], 1)]
+
+    rows, _ = _run_stream(
+        spark,
+        tmp_path,
+        lambda s: stateful_reduce_general(
+            s, ["k"], "k long", ["v", "tag"], "v long, tag string",
+            keep_min, "min_v long, min_tag string",
+        ),
+        epochs,
+        "k long, v long, tag string",
+        "reduce_general",
+    )
+    got = sorted((r.k, r.min_v, r.min_tag, r.diff) for r in rows)
+
+    updates = [
+        (k, v, t, e, d)
+        for e, batch in enumerate(epochs)
+        for (k, v, t, d) in batch
+    ]
+    coll = DiffCollection.from_updates(
+        spark, updates, "k long, v long, tag string"
+    )
+    oracle = coll.reduce(
+        ["k"],
+        lambda key, vals: [(vals[0][0], 1)],
+        "min_v long, min_tag string",
+    ).updates()
+    want = sorted((k, v, t, d) for (k, v, t, e, d) in oracle)
+    assert got == want
+    # the epoch-2 retraction really moved the min back
+    assert (1, 3, "c", -1) in got and got.count((1, 5, "a", 1)) == 2
