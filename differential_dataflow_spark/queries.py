@@ -183,6 +183,51 @@ def dd_distinct(spark, sf_dir):
 
 
 @query(
+    "dd_reachability_maintained",
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       ), reach(node) AS (
+         SELECT DISTINCT CAST(user_id AS BIGINT) FROM events WHERE user_id < 3
+         UNION
+         SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node
+       )
+       SELECT node FROM reach""",
+)
+def dd_reachability_maintained(spark, sf_dir):
+    """INCREMENTALLY MAINTAINED reachability (monotone incremental iterate,
+    reference src/operators/iterate.rs:49-127): the edge set arrives in
+    three insertion batches against a pre-closed initial fixpoint; per batch
+    only the newly attached region is derived (streaming/maintain.py::
+    IncrementalReachability). Final reached set must equal the recursive-CTE
+    oracle over ALL edges — and per-batch update-stream exactness is pinned
+    by pytest (tests/test_maintain.py)."""
+    from differential_dataflow_spark.streaming.maintain import (
+        IncrementalReachability,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+    ).distinct()
+    roots = (
+        ev.filter(F.col("user_id") < 3)
+        .select(F.col("user_id").cast("long").alias("node"))
+        .distinct()
+    )
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    ir = IncrementalReachability(spark, edges.filter(h == 0), roots)
+    for b in (1, 2):
+        ir.add_edges(edges.filter(h == b))
+    from differential_dataflow_spark.session import tracked_local_checkpoint
+
+    out = tracked_local_checkpoint(ir.reached_nodes())
+    ir.release()
+    return out
+
+
+@query(
     "dd_upsert_latest",
     """SELECT user_id, last_value FROM (
          SELECT user_id, value AS last_value,

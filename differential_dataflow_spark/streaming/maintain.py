@@ -199,6 +199,131 @@ class TraceView:
         self.parts = []
 
 
+class IncrementalReachability:
+    """Additions-only incremental ITERATE: maintain ``reach(roots)`` under
+    edge-insertion batches at O(newly derived facts) per batch — the
+    monotone case of the reference's incremental iteration
+    (src/operators/iterate.rs:49-127; the reference's bfs example maintains
+    arbitrary changes via second-order differentials — RETRACTIONS here
+    would need that machinery, so ``add_edges`` rejects negative diffs and
+    full recompute is the documented fallback, exactly the trade a monotone
+    Datalog engine makes).
+
+    State: two TraceViews — the edge trace (key ``src``; bucketed parquet
+    optional, so frontier expansion reads only touched src-buckets at
+    state-bigger-than-memory scale) and the reached set. Per batch: seed the
+    frontier with delta edges whose src is reached and dst is not, then run
+    the semi-naive loop over the COMBINED edge trace; every round expands
+    only the frontier, so total per-batch work is proportional to the newly
+    attached region, not the graph.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        roots: DataFrame,
+        compact_every: int = 16,
+        state_dir: str | None = None,
+        n_buckets: int = 64,
+        max_iters: int = 10_000,
+    ):
+        """``edges``: (src, dst); ``roots``: (node). Runs the initial
+        fixpoint (one-time O(graph) cost, like any bulk load)."""
+        self.spark = spark
+        self.max_iters = max_iters
+        self.edges = TraceView(
+            spark,
+            compact_every=compact_every,
+            bucket_path=(state_dir + "/edges") if state_dir else None,
+            n_buckets=n_buckets,
+        )
+        self.edges.seed(
+            edges.select("src", "dst", F.lit(1).cast("long").alias(DIFF)),
+            key=["src"],
+        )
+        self.reached = TraceView(spark, compact_every=compact_every)
+        base = tracked_local_checkpoint(
+            roots.select(F.col("node")).distinct()
+        )
+        self.reached.seed(
+            base.select("node", F.lit(1).cast("long").alias(DIFF)), key=["node"]
+        )
+        self._expand(base)
+        self.reached.compact()  # fold the initial rounds into one base
+
+    def _expand(self, frontier: DataFrame) -> list[DataFrame]:
+        """Semi-naive loop from ``frontier`` (a checkpointed (node) set whose
+        rows are already in ``reached``); appends each round's new nodes to
+        the reached trace and returns the new parts."""
+        new_parts: list[DataFrame] = []
+        for _ in range(self.max_iters):
+            if frontier.limit(1).isEmpty():
+                break
+            keys = frontier.select(F.col("node").alias("src"))
+            ev = self.edges.lookup_view(keys)
+            cand = (
+                ev.join(F.broadcast(keys), ["src"], "left_semi")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            seen = self.reached.view().select("node")
+            new = tracked_local_checkpoint(
+                cand.join(seen, ["node"], "left_anti")
+            )
+            part = new.select("node", F.lit(1).cast("long").alias(DIFF))
+            self.reached.append(part)
+            new_parts.append(part)
+            frontier = new
+        else:
+            raise RuntimeError("reachability did not close within max_iters")
+        return new_parts
+
+    def add_edges(self, delta: DataFrame) -> DataFrame:
+        """Apply one batch of edge ADDITIONS (src, dst[, diff>0]); returns
+        the newly reachable nodes as ``(node, diff=+1)`` update rows."""
+        if DIFF in delta.columns:
+            if not delta.filter(F.col(DIFF) <= 0).isEmpty():
+                raise NotImplementedError(
+                    "IncrementalReachability is monotone: edge retraction "
+                    "requires second-order differentials (reference "
+                    "examples/bfs.rs) — recompute from scratch instead"
+                )
+            delta = delta.drop(DIFF)
+        # Compact BEFORE computing this batch (the previous batch's returned
+        # frame is out of its validity window by now — the TraceView cursor
+        # contract).
+        self.reached.maybe_compact()
+        d = tracked_local_checkpoint(delta.select("src", "dst").distinct())
+        reached_nodes = self.reached.view().select("node")
+        seed = tracked_local_checkpoint(
+            d.join(
+                reached_nodes.withColumnRenamed("node", "src"), ["src"], "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached_nodes, ["node"], "left_anti")
+        )
+        # Seal the new edges FIRST: later rounds must traverse them.
+        self.edges.maybe_compact()
+        self.edges.append(d.select("src", "dst", F.lit(1).cast("long").alias(DIFF)))
+        seed_part = seed.select("node", F.lit(1).cast("long").alias(DIFF))
+        self.reached.append(seed_part)
+        parts = [seed_part] + self._expand(seed)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def reached_nodes(self) -> DataFrame:
+        """Current reachable set (node rows)."""
+        return self.reached.view().select("node")
+
+    def release(self) -> None:
+        self.edges.release()
+        self.reached.release()
+
+
 class CountMaintainer:
     """Incremental per-key count over a TraceView: the ``count_total``
     maintenance loop (src/operators/count.rs:81-123 — walk the sealed batch

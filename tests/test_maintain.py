@@ -112,3 +112,64 @@ def test_delta_join_in_memory_seeded(spark):
     dl = spark.createDataFrame([(0, 3, 1)], "k long, v1 long, diff long")
     out = sorted((r.k, r.v1, r.v2, r.diff) for r in dj.process_batch(dl, None).collect())
     assert out == [(0, 3, 10, 1), (0, 3, 11, 1)]
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_incremental_reachability_matches_recompute(spark, tmp_path, bucketed):
+    # Monotone incremental iterate: edge-addition batches extend the reached
+    # set; after each batch the maintained set must equal a from-scratch
+    # python BFS over the accumulated edges, and the returned update stream
+    # must be exactly the newly reached nodes.
+    import random
+
+    from differential_dataflow_spark.streaming.maintain import (
+        IncrementalReachability,
+    )
+
+    rng = random.Random(17)
+    n = 80
+    all_edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(220)})
+    init, batches = all_edges[:80], [all_edges[80:130], all_edges[130:180], all_edges[180:]]
+    roots = [0, 1]
+
+    def py_reach(edges):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        seen, stack = set(roots), list(roots)
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    ir = IncrementalReachability(
+        spark,
+        spark.createDataFrame(init, "src long, dst long"),
+        spark.createDataFrame([(r,) for r in roots], "node long"),
+        compact_every=2,
+        state_dir=str(tmp_path / "state") if bucketed else None,
+        n_buckets=4,
+    )
+    acc = list(init)
+    prev = py_reach(acc)
+    assert {r.node for r in ir.reached_nodes().collect()} == prev
+    for batch in batches:
+        out = {r.node for r in ir.add_edges(
+            spark.createDataFrame(batch, "src long, dst long")
+        ).collect()}
+        acc += batch
+        cur = py_reach(acc)
+        assert out == cur - prev          # exactly the newly reached nodes
+        assert {r.node for r in ir.reached_nodes().collect()} == cur
+        prev = cur
+    # retraction is rejected, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="monotone"):
+        ir.add_edges(
+            spark.createDataFrame([(0, 1, -1)], "src long, dst long, diff long")
+        )
+    ir.release()
