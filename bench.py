@@ -64,7 +64,7 @@ def _calibrate(spark, cores: int) -> float:
     ceiling (this VM: ~2.1-2.8x from 8 to 32 threads)."""
     from pyspark.sql import functions as F
 
-    n = 4_000_000_000
+    n = 2_000_000_000
     df = spark.range(0, n, 1, cores * 4)
     expr = F.sum(F.xxhash64("id") % 1000)
     spark.range(0, 1_000_000, 1, cores).select(expr).collect()  # warm codegen
@@ -195,7 +195,14 @@ def run_inner_incremental(cores: int) -> None:
     # O(|Δ|/keyspace · state)).
     for mode, state_dir in (("count", None), ("count_bucketed", state_root + "/cnt")):
         res[mode] = {"state_rows": NKEYS}
-        for batch_size, rounds in ((1, 12), (1_000, 12), (100_000, 8), (1_000_000, 4)):
+        sizes = (
+            ((1, 10), (1_000, 10), (100_000, 8), (1_000_000, 4))
+            if state_dir is None
+            # bucketed: the pruning story shows at the small-batch end and
+            # the amortized end; the middle sizes mirror the in-memory run
+            else ((1, 10), (100_000, 6), (1_000_000, 3))
+        )
+        for batch_size, rounds in sizes:
             cm = CountMaintainer(
                 spark, keys=["k"], alias="n", compact_every=8, state_dir=state_dir
             )
@@ -214,7 +221,7 @@ def run_inner_incremental(cores: int) -> None:
 
     NROWS, KEYSPACE = 5_000_000, 1_000_000
     res["join"] = {"state_rows_per_side": NROWS, "keyspace": KEYSPACE}
-    for batch_size, rounds in ((1, 12), (1_000, 12), (100_000, 8)):
+    for batch_size, rounds in ((1, 10), (100_000, 8)):
         dj = DeltaJoin(spark, None, on=["k"], compact_every=8)
         for side, vcol in (("left", "v1"), ("right", "v2")):
             dj.seed(
