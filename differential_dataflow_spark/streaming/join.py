@@ -94,6 +94,24 @@ class DeltaJoin:
                 "right": TraceView(spark, compact_every=compact_every),
             }
         self._batch = 0
+        if self.root is not None:
+            # RESUME: re-attach existing traces (trace import,
+            # agent.rs:215-288) instead of resetting their manifests, and
+            # restart the epoch counter past every sealed batch — a new
+            # DeltaJoin on a populated state_dir continues the stream
+            # exactly where the previous incarnation stopped.
+            for side in ("left", "right"):
+                if (self.root / side / "manifest.json").exists():
+                    self._arr[side] = Arrangement.load(
+                        spark, str(self.root / side)
+                    )
+            uppers = [
+                b["upper"]
+                for arr in self._arr.values()
+                if arr is not None
+                for b in arr.batches
+            ]
+            self._batch = max(uppers, default=0)
 
     def _trace(self, side: str) -> DataFrame | None:
         """The side's history as ``(key..., payload..., diff)`` rows (epochs

@@ -102,3 +102,49 @@ def test_delta_join_one_sided_batches(spark, tmp_path):
     dl2 = spark.createDataFrame([(0, 2, 2)], "k long, v1 long, diff long")
     out2 = dj.process_batch(dl2, None)
     assert [(r.k, r.v1, r.v2, r.diff) for r in out2.collect()] == [(0, 2, 7, 2)]
+
+
+def test_delta_join_resumes_from_state_dir(spark, tmp_path):
+    """A NEW DeltaJoin attached to a populated state_dir must continue the
+    stream (trace import + epoch counter restart), not reset it — the
+    checkpoint-resumability contract. First incarnation processes 2 epochs,
+    the second processes 2 more; the accumulated output must equal the batch
+    differential join of all 4."""
+    l_epochs = [
+        [(0, 1, 1)],
+        [(1, 5, 1)],
+        [(0, 2, 1)],
+        [(0, 1, -1)],
+    ]
+    r_epochs = [
+        [(0, 10, 1)],
+        [(0, 11, 1)],
+        [(1, 20, 1)],
+        [(1, 20, 1)],
+    ]
+    acc: dict[tuple, int] = {}
+
+    def run(dj, lo, hi):
+        for le, re in zip(l_epochs[lo:hi], r_epochs[lo:hi]):
+            dl = spark.createDataFrame(le, "k long, v1 long, diff long")
+            dr = spark.createDataFrame(re, "k long, v2 long, diff long")
+            out = dj.process_batch(dl, dr)
+            if out is not None:
+                for r in out.collect():
+                    key = (r.k, r.v1, r.v2)
+                    acc[key] = acc.get(key, 0) + r.diff
+
+    dj1 = DeltaJoin(spark, str(tmp_path / "state"), on=["k"], compact_every=3)
+    run(dj1, 0, 2)
+    dj2 = DeltaJoin(spark, str(tmp_path / "state"), on=["k"], compact_every=3)
+    assert dj2._batch == 2  # resumed past the sealed epochs
+    run(dj2, 2, 4)
+    got = sorted((k + (d,)) for k, d in acc.items() if d != 0)
+
+    l_updates = [(k, v, e, d) for e, ep in enumerate(l_epochs) for (k, v, d) in ep]
+    r_updates = [(k, v, e, d) for e, ep in enumerate(r_epochs) for (k, v, d) in ep]
+    left = DiffCollection.from_updates(spark, l_updates, "k long, v1 long")
+    right = DiffCollection.from_updates(spark, r_updates, "k long, v2 long")
+    final = left.join(right, on=["k"]).consolidate_final().collect()
+    want = sorted((r.k, r.v1, r.v2, r.diff) for r in final)
+    assert got == want
