@@ -1737,15 +1737,22 @@ def graph_kcore(spark, sf_dir):
 )
 def graph_bidirectional_sp(spark, sf_dir):
     """Bidirectional shortest path (src/algorithms/graphs/bijkstra.rs:24-60):
-    two frontiers, smaller side expands, stop when depths cover the best
-    meeting distance. Oracle: recursive-CTE BFS from the source."""
+    both frontiers expand in one job per round, stop when depths cover the
+    best meeting distance. Oracle: recursive-CTE BFS from the source.
+    Edges are fed WITHOUT the distinct — the per-(dir,node) min aggregation
+    absorbs duplicates, so the dedup exchange would be pure overhead."""
     from differential_dataflow_spark.algorithms.graphs import (
         bidirectional_shortest_path,
     )
 
-    return bidirectional_shortest_path(
-        _event_edges(spark, sf_dir), source=0, target=97
+    ev = _t(spark, sf_dir, "events")
+    edges = DiffCollection.from_df(
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+        )
     )
+    return bidirectional_shortest_path(edges, source=0, target=97)
 
 
 @query(
