@@ -192,6 +192,111 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a DETERMINISTIC sample
+    (hash-ordered, so every run and cluster size picks the same rows).
+    Returns L2-normalized centroids (n_centroids, dim). The sample bounds
+    driver memory — at 100 TB the sample is the only driver-side data, and
+    assignment/probing run fully distributed against the broadcast-by-closure
+    centroid matrix (a few KB)."""
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine: a coarse spherical
+    k-means quantizer buckets the corpus into ``n_centroids`` cells; each
+    query probes its ``nprobe`` nearest cells and candidates are reranked
+    exactly. The second scale path next to hyperplane LSH: at 100 TB the
+    corpus is PARTITIONED BY cell (Iceberg partition = cell id), so a query
+    reads nprobe/n_centroids of the data — the same pruned-state shape as
+    the bucketed TraceView. Output like brute_force_topk."""
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        cell_of(F.col(vec_col).cast("array<double>")).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.explode(
+            probe_cells(F.col(vec_col).cast("array<double>"))
+        ).alias("__cell"),
+    )
+    cands = q.join(c, ["__cell"]).filter(F.col(query_id_col) != F.col(id_col))
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", F.col("rank").cast("long"))
+    )
+
+
 def embedding_cosine_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

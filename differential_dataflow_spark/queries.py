@@ -932,6 +932,23 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries_df, dim=64, k=5)
 
 
+@query("ann_ivf_topk")  # approximate — pytest recall vs brute force
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: coarse spherical-k-means cells,
+    nprobe-cell probing, exact rerank (functions/similarity.py::ivf_topk).
+    The partition-pruned ANN scale path (cells = Iceberg partitions at
+    100 TB); recall + determinism pinned in pytest."""
+    from pyspark.sql import functions as FF
+
+    from differential_dataflow_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(FF.col("vec_id") < 10).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, dim=64, k=5, n_centroids=32, nprobe=8)
+
+
 @query("multimodal_features")  # synthetic media — deterministic, rows-only
 def multimodal_features(spark, sf_dir):
     from pyspark.sql import functions as FF

@@ -197,3 +197,32 @@ def test_embedding_cosine_pairs_lsh_recall_neardup(spark):
     assert approx <= exact  # exact rerank: no false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"recall {recall:.2f}"
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from differential_dataflow_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    # Random embeddings are the hard case for a coarse quantizer too: probe
+    # a third of the cells — still a 3x read reduction at scale.
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_centroids=12, nprobe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+    # reranking is exact: any overlap carries the exact cosine
+    ec = {(r.query_id, r.vec_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in ec:
+            assert abs(ec[(r.query_id, r.vec_id)] - r.cos) < 1e-9
+    # determinism: same seed -> identical result set
+    again = ivf_topk(emb, queries, dim=64, k=5, n_centroids=12, nprobe=4)
+    assert {(r.query_id, r.vec_id, r.rank) for r in again.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in approx.collect()
+    }
