@@ -1796,6 +1796,47 @@ def graph_wco_triangles(spark, sf_dir):
 
 
 @query(
+    "graph_bfs_maintained",
+    """WITH RECURSIVE e AS (
+         SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst
+         FROM events
+       ), reach(node, dist) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION
+         SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+         WHERE r.dist < 200
+       )
+       SELECT node, min(dist) AS dist FROM reach GROUP BY node""",
+)
+def graph_bfs_maintained(spark, sf_dir):
+    """BFS distances MAINTAINED under mixed edge changes — the reference's
+    marquee demo (examples/bfs.rs: random edge changes streamed through an
+    iterate scope). Edges arrive in three batches; batch 2 both inserts and
+    DELETES a slice that batch 1 carried prematurely (the slice returns in
+    batch 3, so the final edge set equals the oracle's). Per-batch
+    update-stream exactness is pinned in pytest; here the maintained final
+    distance map must match the recursive-CTE BFS."""
+    from differential_dataflow_spark.streaming.maintain import IncrementalBFS
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+    ).distinct()
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    part_a, part_b, part_c = (edges.filter(h == i) for i in (0, 1, 2))
+    x = part_c.filter(F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    ib = IncrementalBFS(spark, part_a.unionByName(x), root=0, compact_every=8)
+    ib.process_batch(part_b, x)      # insert B, retract the early slice
+    ib.process_batch(part_c, None)   # C re-adds the slice
+    from differential_dataflow_spark.session import tracked_local_checkpoint
+
+    out = tracked_local_checkpoint(ib.distances().select("node", "dist"))
+    ib.release()
+    return out
+
+
+@query(
     "graph_delta_triangles",
     """WITH e AS (
          SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst

@@ -324,6 +324,340 @@ class IncrementalReachability:
         self.reached.release()
 
 
+class IncrementalBFS:
+    """Maintain single-source BFS hop distances under ARBITRARY edge changes
+    — insertions and deletions — at cost proportional to the affected
+    region, the reference's marquee maintenance demo (examples/bfs.rs +
+    README.md:150-214, where random edge changes stream through an iterate
+    scope). The reference gets deletions "for free" from second-order
+    differentials; Spark has no feedback edge, so this uses the classic
+    dynamic-SSSP decomposition instead, each phase frontier-bounded:
+
+    1. DELETIONS — nodes whose shortest path might have used a deleted edge
+       = descendants of the deleted edges' heads in the OLD shortest-path
+       DAG (edges (u,v) with dist[v] = dist[u]+1): a semi-naive closure over
+       the SP-DAG, O(affected). Their distances are recomputed by
+       min-merge (Bellman-Ford) relaxation from the non-affected BOUNDARY
+       over the post-deletion edges, restricted to the affected set —
+       non-affected distances provably cannot change.
+    2. INSERTIONS — decrease-only relaxation seeded from inserted edges that
+       improve their head's distance; each round relaxes only the nodes
+       improved in the previous round, O(improved region).
+
+    Emits the update stream ``(node, dist, diff)``: retractions of changed /
+    vanished distances and assertions of the new ones — consolidating the
+    outputs reproduces a from-scratch BFS of the final graph (pytest).
+    State: an edge TraceView keyed by src (bucketed parquet optional for
+    durable/larger-than-memory storage) and the current distance map. The
+    live edge multiset is consolidated ONCE per batch and reused by every
+    relaxation round — per-round re-consolidation of the trace was the
+    dominant shuffle cost; at warehouse scale that one fold is a
+    partition-wise (bucketed) aggregate.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        root: int,
+        compact_every: int = 16,
+        state_dir: str | None = None,
+        n_buckets: int = 64,
+        max_iters: int = 10_000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.max_iters = max_iters
+        self._spent: list = []
+        self.edges = TraceView(
+            spark,
+            compact_every=compact_every,
+            bucket_path=(state_dir + "/edges") if state_dir else None,
+            n_buckets=n_buckets,
+        )
+        self.edges.seed(
+            edges.select("src", "dst", F.lit(1).cast("long").alias(DIFF)),
+            key=["src"],
+        )
+        # dist state: a checkpointed (node, dist) map, rewritten only in the
+        # affected region per batch (the rewrite unions untouched rows by
+        # reference, so the per-batch write is O(changed)).
+        start = self._ck(
+            spark.createDataFrame([(root, 0)], "node long, dist long")
+        )
+        self.dist = self._relax_down(start, None, self._ck(self._edges_pos()))
+
+    # -- helpers ------------------------------------------------------- #
+
+    def _ck(self, df: DataFrame) -> DataFrame:
+        """Checkpoint + register for release at the NEXT batch: every
+        intermediate (closure parts, per-round relaxation maps, the previous
+        distance map) stays valid through the returned update stream's
+        validity window, then its blocks are freed — without this the
+        min-merge rounds leak one O(V) checkpoint per round."""
+        out = tracked_local_checkpoint(df)
+        self._spent.append(out)
+        return out
+
+    def _reap(self) -> None:
+        for df in self._spent:
+            if df is not self.dist:
+                release_checkpoint(df)
+        self._spent = [df for df in self._spent if df is self.dist]
+
+    def _edges_pos(self) -> DataFrame:
+        """Current edge multiset's positive support (src, dst)."""
+        v = self.edges.view()
+        return (
+            v.groupBy("src", "dst")
+            .agg(F.sum(DIFF).alias("__w"))
+            .filter(F.col("__w") > 0)
+            .select("src", "dst")
+        )
+
+    def _relax_down(
+        self, improved: DataFrame, dist: DataFrame | None, live: DataFrame
+    ) -> DataFrame:
+        """Decrease-only min-merge relaxation over the pre-consolidated
+        ``live`` edge map (consolidating the trace ONCE per batch instead of
+        once per round was worth a shuffle per round): propagate better
+        distances from ``improved`` (node, dist) until no improvement.
+        Returns the new checkpointed dist map. O(improved region) per
+        round."""
+        dist = improved if dist is None else dist
+        rounds = 0
+        for _ in range(self.max_iters):
+            if improved.limit(1).isEmpty():
+                # dist is a lazy anti-join chain over the per-round
+                # checkpointed `better` parts — one materialization per
+                # BATCH instead of one per round (the chain depth is the
+                # round count, small; the per-round checkpoint was ~40% of
+                # the driver-round floor).
+                return self._ck(dist) if rounds else dist
+            cand = (
+                live.join(
+                    F.broadcast(improved.withColumnRenamed("node", "src")),
+                    ["src"],
+                )
+                .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("__nd"))
+                .groupBy("node")
+                .agg(F.min("__nd").alias("__nd"))
+            )
+            merged = cand.join(dist, ["node"], "left")
+            better = self._ck(
+                merged.filter(
+                    F.col("dist").isNull() | (F.col("__nd") < F.col("dist"))
+                ).select("node", F.col("__nd").alias("dist"))
+            )
+            dist = (
+                dist.join(better.select("node"), ["node"], "left_anti")
+                .unionByName(better)
+            )
+            improved = better
+            rounds += 1
+        raise RuntimeError("BFS relaxation did not converge")
+
+    # -- the maintenance step ------------------------------------------ #
+
+    def process_batch(
+        self, insert: DataFrame | None, delete: DataFrame | None
+    ) -> DataFrame:
+        """Apply edge insertions/deletions (src, dst); returns the distance
+        update stream (node, dist, diff). Valid until the next call."""
+        self._reap()
+        old_dist = self.dist
+        edges_old = self._ck(self._edges_pos())
+        # ins/dele become TRACE PARTS (long-lived edge state, released by
+        # the TraceView's own compaction) — plain checkpoints, NOT _ck:
+        # reaping them at the next batch would tear the edge trace's blocks
+        # out from under later rounds.
+        ins = (
+            tracked_local_checkpoint(insert.select("src", "dst").distinct())
+            if insert is not None
+            else None
+        )
+        dele = (
+            tracked_local_checkpoint(delete.select("src", "dst").distinct())
+            if delete is not None
+            else None
+        )
+        self.edges.maybe_compact()
+        if ins is not None:
+            self.edges.append(
+                ins.select("src", "dst", F.lit(1).cast("long").alias(DIFF))
+            )
+        if dele is not None:
+            self.edges.append(
+                dele.select("src", "dst", F.lit(-1).cast("long").alias(DIFF))
+            )
+        # One consolidation of the post-change edge multiset serves every
+        # relaxation round this batch (at warehouse scale this fold is
+        # partition-wise and pruned; per-round re-consolidation was the
+        # dominant shuffle cost).
+        edges_new = self._ck(self._edges_pos())
+
+        dist = old_dist
+        if dele is not None:
+            du = old_dist.withColumnRenamed("node", "src").withColumnRenamed(
+                "dist", "__du"
+            )
+            dv = old_dist.withColumnRenamed("node", "dst").withColumnRenamed(
+                "dist", "__dv"
+            )
+            # Seeds: heads of deleted SP-DAG edges (dele is small — two
+            # broadcast probes into the old distance map, no shuffle of it).
+            seeds = self._ck(
+                du.join(F.broadcast(dele), ["src"])
+                .join(dv, ["dst"])
+                .filter(F.col("__dv") == F.col("__du") + 1)
+                .select(F.col("dst").alias("node"), F.col("__dv").alias("dist"))
+                .distinct()
+            )
+            # Closure over the old SP-DAG, FRONTIER-DRIVEN — each round
+            # expands only the frontier's out-edges (bucket-pruned in the
+            # parquet mode) and keeps successors whose old dist is exactly
+            # frontier dist + 1; the SP-DAG is never materialized whole.
+            parts = [seeds]
+            frontier = seeds
+            for _ in range(self.max_iters):
+                if frontier.limit(1).isEmpty():
+                    break
+                aff = parts[0]
+                for p in parts[1:]:
+                    aff = aff.unionByName(p)
+                nxt = self._ck(
+                    edges_old.join(
+                        F.broadcast(frontier.withColumnRenamed("node", "src")),
+                        ["src"],
+                    )
+                    .select(
+                        F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("__req"),
+                    )
+                    .join(old_dist, ["node"])
+                    .filter(F.col("dist") == F.col("__req"))
+                    .select("node", "dist")
+                    .distinct()
+                    .join(aff.select("node"), ["node"], "left_anti")
+                )
+                parts.append(nxt)
+                frontier = nxt
+            affected = parts[0].select("node")
+            for p in parts[1:]:
+                affected = affected.unionByName(p.select("node"))
+            affected = self._ck(
+                affected.filter(F.col("node") != self.root)
+            )
+            # Keep non-affected distances; re-derive the affected region by
+            # min-merge relaxation over the NEW edges, seeded from the
+            # BOUNDARY — kept nodes with an edge into the affected set (one
+            # map-side edge scan against the broadcast affected set; a
+            # dst-keyed secondary trace would prune it, mirroring the
+            # reference's arrange-by-reverse-key).
+            kept = self._ck(
+                old_dist.join(affected, ["node"], "left_anti")
+            )
+            dist = kept
+            into_affected = (
+                edges_new
+                .join(
+                    F.broadcast(affected.withColumnRenamed("node", "dst")),
+                    ["dst"],
+                    "left_semi",
+                )
+                .select(F.col("src").alias("node"))
+                .distinct()
+            )
+            boundary = self._ck(
+                kept.join(into_affected, ["node"], "left_semi")
+            )
+            for _ in range(self.max_iters):
+                if boundary.limit(1).isEmpty():
+                    break
+                cand = (
+                    edges_new.join(
+                        F.broadcast(boundary.withColumnRenamed("node", "src")),
+                        ["src"],
+                    )
+                    .select(
+                        F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("__nd"),
+                    )
+                    .join(F.broadcast(affected), ["node"], "left_semi")
+                    .groupBy("node")
+                    .agg(F.min("__nd").alias("__nd"))
+                )
+                merged = cand.join(dist, ["node"], "left")
+                better = self._ck(
+                    merged.filter(
+                        F.col("dist").isNull() | (F.col("__nd") < F.col("dist"))
+                    ).select("node", F.col("__nd").alias("dist"))
+                )
+                dist = (
+                    dist.join(better.select("node"), ["node"], "left_anti")
+                    .unionByName(better)
+                )
+                boundary = better
+            dist = self._ck(dist)
+
+        if ins is not None:
+            # Decrease-only relaxation seeded by improving inserted edges.
+            du = dist.withColumnRenamed("node", "src").withColumnRenamed(
+                "dist", "__du"
+            )
+            seeds = (
+                ins.join(du, ["src"])
+                .select(
+                    F.col("dst").alias("node"), (F.col("__du") + 1).alias("__nd")
+                )
+                .groupBy("node")
+                .agg(F.min("__nd").alias("__nd"))
+                .join(dist, ["node"], "left")
+                .filter(F.col("dist").isNull() | (F.col("__nd") < F.col("dist")))
+                .select("node", F.col("__nd").alias("dist"))
+            )
+            seeds = self._ck(seeds)
+            dist = self._ck(
+                dist.join(seeds.select("node"), ["node"], "left_anti")
+                .unionByName(seeds)
+            )
+            dist = self._relax_down(seeds, dist, edges_new)
+
+        self.dist = dist
+        # Output deltas: full-outer diff of the old and new maps — Spark
+        # evaluates it over the two checkpointed maps, and only changed rows
+        # survive the filters.
+        o = old_dist.withColumnRenamed("dist", "__old")
+        n = dist.withColumnRenamed("dist", "__new")
+        j = o.join(n, ["node"], "full_outer")
+        changed = j.filter(
+            ~F.col("__old").eqNullSafe(F.col("__new"))
+        )
+        out = (
+            changed.filter(F.col("__old").isNotNull())
+            .select(
+                "node",
+                F.col("__old").alias("dist"),
+                F.lit(-1).cast("long").alias(DIFF),
+            )
+            .unionByName(
+                changed.filter(F.col("__new").isNotNull()).select(
+                    "node",
+                    F.col("__new").alias("dist"),
+                    F.lit(1).cast("long").alias(DIFF),
+                )
+            )
+        )
+        return out
+
+    def distances(self) -> DataFrame:
+        return self.dist
+
+    def release(self) -> None:
+        self.edges.release()
+        release_checkpoint(self.dist)
+
+
 class CountMaintainer:
     """Incremental per-key count over a TraceView: the ``count_total``
     maintenance loop (src/operators/count.rs:81-123 — walk the sealed batch

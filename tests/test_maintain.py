@@ -173,3 +173,72 @@ def test_incremental_reachability_matches_recompute(spark, tmp_path, bucketed):
             spark.createDataFrame([(0, 1, -1)], "src long, dst long, diff long")
         )
     ir.release()
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_incremental_bfs_matches_recompute(spark, tmp_path, bucketed):
+    # The reference's marquee demo (examples/bfs.rs): BFS distances
+    # maintained under MIXED edge insertions and deletions. After every
+    # batch the maintained distance map must equal a from-scratch BFS, and
+    # the emitted update stream must be exactly the map diff.
+    import random
+    from collections import deque
+
+    from differential_dataflow_spark.streaming.maintain import IncrementalBFS
+
+    rng = random.Random(23)
+    n = 60
+    pool = list({(rng.randrange(n), rng.randrange(n)) for _ in range(260)})
+    init = pool[:140]
+    live = set(init)
+
+    def py_bfs(edges):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        dist = {0: 0}
+        q = deque([0])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    ib = IncrementalBFS(
+        spark,
+        spark.createDataFrame(init, "src long, dst long"),
+        root=0,
+        compact_every=2,
+        state_dir=str(tmp_path / "state") if bucketed else None,
+        n_buckets=4,
+    )
+    prev = py_bfs(live)
+    assert {r.node: r.dist for r in ib.distances().collect()} == prev
+    for i in range(4):
+        rng2 = random.Random(100 + i)
+        dels = rng2.sample(sorted(live), 18)
+        ins = [e for e in pool if e not in live][: 15]
+        out = ib.process_batch(
+            spark.createDataFrame(ins, "src long, dst long") if ins else None,
+            spark.createDataFrame(dels, "src long, dst long"),
+        )
+        live = (live - set(dels)) | set(ins)
+        cur = py_bfs(live)
+        got = {r.node: r.dist for r in ib.distances().collect()}
+        assert got == cur, f"batch {i}: map mismatch"
+        # the update stream is exactly the diff of the two maps
+        ups = {}
+        for r in out.collect():
+            ups[(r.node, r.dist)] = ups.get((r.node, r.dist), 0) + r.diff
+        want_ups = {}
+        for node in set(prev) | set(cur):
+            if prev.get(node) != cur.get(node):
+                if node in prev:
+                    want_ups[(node, prev[node])] = -1
+                if node in cur:
+                    want_ups[(node, cur[node])] = 1
+        assert {k: v for k, v in ups.items() if v} == want_ups, f"batch {i}"
+        prev = cur
+    ib.release()
