@@ -6,3 +6,30 @@ Maps the reference's streaming machinery onto Spark Structured Streaming
 state → per-key state store via applyInPandasWithState Arrow kernels;
 exactly-once capture protocol (src/capture.rs) → idempotent epoch-keyed
 foreachBatch commits."""
+
+from differential_dataflow_spark.streaming.join import DeltaJoin, stream_stream_join
+from differential_dataflow_spark.streaming.maintain import (
+    CountMaintainer,
+    IncrementalBFS,
+    IncrementalReachability,
+    TraceView,
+)
+from differential_dataflow_spark.streaming.delta_query import (
+    DeltaTriangles,
+    half_join,
+)
+from differential_dataflow_spark.streaming.sink import ExactlyOnceSink
+from differential_dataflow_spark.streaming.source import EpochFeeder
+
+__all__ = [
+    "CountMaintainer",
+    "DeltaJoin",
+    "DeltaTriangles",
+    "EpochFeeder",
+    "ExactlyOnceSink",
+    "IncrementalBFS",
+    "IncrementalReachability",
+    "TraceView",
+    "half_join",
+    "stream_stream_join",
+]
