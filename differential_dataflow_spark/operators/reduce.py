@@ -177,13 +177,20 @@ def _require_natural_ascending(
     Rather than silently returning ascending results for, say, a descending
     request, fail loudly with the two escape hatches."""
 
-    def _expr(c: Column) -> str:
-        s = str(c)
-        return s[len("Column<'"):-2] if s.startswith("Column<'") else s
+    # Compare each order_by column's repr against reprs BUILT THE SAME WAY
+    # from the accepted forms (bare column / explicit .asc() / NULLS FIRST),
+    # so the check tracks whatever repr format the installed PySpark uses
+    # instead of hand-parsing the "Column<'...'>" wrapper (not a stable API).
+    def _accepted(v: str) -> set[str]:
+        return {
+            str(F.col(v)),
+            str(F.col(v).asc()),
+            str(F.col(v).asc_nulls_first()),
+        }
 
-    exprs = [_expr(c) for c in order_by]
+    exprs = [str(c) for c in order_by]
     ok = len(exprs) == len(value_cols) and all(
-        e == v or e.startswith(f"{v} ASC") for e, v in zip(exprs, value_cols)
+        e in _accepted(v) for e, v in zip(exprs, value_cols)
     )
     if not ok:
         raise ValueError(

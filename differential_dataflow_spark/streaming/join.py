@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
 from differential_dataflow_spark.operators.arrange import Arrangement
+from differential_dataflow_spark.session import tracked_local_checkpoint
 
 
 def stream_stream_join(
@@ -181,7 +182,9 @@ class DeltaJoin:
                 out = out.unionByName(o)
             # Materialize BEFORE mutating the traces: the lazy plan references
             # the pre-batch trace files, which append/compaction will rewrite.
-            out = out.localCheckpoint(eager=True)
+            # Tracked so long-running foreachBatch loops can release_checkpoint
+            # each round's output instead of leaking one block set per batch.
+            out = tracked_local_checkpoint(out)
         if delta_left is not None:
             self._append("left", delta_left)
         if delta_right is not None:

@@ -76,12 +76,41 @@ class TraceView:
         self.key: list[str] | None = None
         self.base: DataFrame | None = None
         self.parts: list[DataFrame] = []
+        if bucket_path is not None:
+            self._recover()
+
+    def _recover(self) -> None:
+        """Startup recovery for the staged base swap: ``_write_base`` has a
+        window between ``rename(root -> old)`` and ``rename(tmp -> root)``
+        where no live base exists — a crash there must not lose the state.
+        On open: a missing root with a surviving ``.old`` restores it (the
+        pre-swap base is the last complete one); a leftover ``.tmp`` is
+        discarded (it may be a partial write)."""
+        import shutil
+        from pathlib import Path
+
+        root = Path(self.bucket_path)
+        old, tmp = root.with_suffix(".old"), root.with_suffix(".tmp")
+        if not root.exists() and old.exists():
+            old.rename(root)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if root.exists():
+            self.base = self.spark.read.parquet(str(root))
 
     def _bucket_col(self):
+        if not self.key:
+            raise ValueError(
+                "bucketed TraceView requires key columns: call seed(df, "
+                "key=[...]) before the first append/compact, or have the "
+                "owning operator set .key at construction"
+            )
         return F.pmod(F.xxhash64(*self.key), F.lit(self.n_buckets)).cast("int")
 
     def _write_base(self, df: DataFrame) -> None:
-        """Write (or rewrite, via staged swap) the bucket-partitioned base."""
+        """Write (or rewrite, via staged swap) the bucket-partitioned base.
+        Crash-safe with :meth:`_recover`: the only window without a root dir
+        leaves ``.old`` intact, which recovery restores on next open."""
         import shutil
         from pathlib import Path
 
@@ -691,6 +720,10 @@ class CountMaintainer:
             bucket_path=state_dir,
             n_buckets=n_buckets,
         )
+        # The maintainer's keys ARE the trace key: set up front so a bucketed
+        # trace used without seed_counts (pure append-from-empty) can still
+        # compute its bucket column at first compaction.
+        self.trace.key = self.keys
 
     def seed_counts(self, counts: DataFrame, count_col: str = "count") -> None:
         """Pre-load existing per-key counts (``(keys..., count_col)``)."""
