@@ -1895,6 +1895,78 @@ def graph_delta_triangles(spark, sf_dir):
     return result
 
 
+@query(
+    "graph_delta_paths",
+    """WITH e AS (
+         SELECT DISTINCT user_id AS src,
+                CAST(floor(value * 7) AS BIGINT) % 1500 AS dst
+         FROM events
+         WHERE (user_id * 31 + CAST(floor(value) AS BIGINT)) % 7 = 0
+       )
+       SELECT e1.src AS a, e3.dst AS d, CAST(count(*) AS BIGINT) AS n_paths
+       FROM e e1
+       JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e2.dst
+       GROUP BY e1.src, e3.dst""",
+)
+def graph_delta_paths(spark, sf_dir):
+    """GENERIC n-way delta query (dogsdogsdogs/src/lib.rs:1-60 — a delta
+    pipeline per relation occurrence, built from the query's atoms rather
+    than hand-wired): length-3 paths P(a,b,c,d) ⟸ E(a,b), E(b,c), E(c,d)
+    maintained over three epochs of edge updates, the middle one retracting
+    a slice epoch 1 carried prematurely. The accumulated update stream,
+    aggregated to path counts per (a, d) endpoint pair, must equal the batch
+    triple self-join of the final edge set."""
+    from differential_dataflow_spark.streaming.delta_query import DeltaQuery
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.filter(
+            (F.col("user_id") * 31 + F.floor("value").cast("long")) % 7 == 0
+        )
+        .select(
+            F.col("user_id").alias("src"),
+            (F.floor(F.col("value") * 7).cast("long") % 1500).alias("dst"),
+        )
+        .distinct()
+    )
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    part_a, part_b, part_c = (edges.filter(h == i) for i in (0, 1, 2))
+    x = part_c.filter(F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    one = F.lit(1).cast("long").alias(DIFF)
+    neg = F.lit(-1).cast("long").alias(DIFF)
+    epochs = [
+        part_a.select("src", "dst", one).unionByName(x.select("src", "dst", one)),
+        part_b.select("src", "dst", one).unionByName(x.select("src", "dst", neg)),
+        part_c.select("src", "dst", one),
+    ]
+    dq = DeltaQuery(
+        spark,
+        relations={"E": ("src", "dst")},
+        atoms=[("E", ("a", "b")), ("E", ("b", "c")), ("E", ("c", "d"))],
+        compact_every=8,
+    )
+    outs = [dq.process_batch({"E": delta}) for delta in epochs]
+    acc = outs[0]
+    for out in outs[1:]:
+        acc = acc.unionByName(out)
+    result = (
+        acc.groupBy("a", "d")
+        .agg(F.sum(DIFF).alias("n_paths"))
+        .filter(F.col("n_paths") != 0)
+    )
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    result = tracked_local_checkpoint(result)
+    dq.release()
+    for out in outs:
+        release_checkpoint(out)
+    return result
+
+
 @query("graph_sequential_coloring")  # order-gated greedy — pytest oracle
 def graph_sequential_coloring(spark, sf_dir):
     """Sequential (id-order) greedy coloring
