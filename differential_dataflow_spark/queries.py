@@ -195,13 +195,17 @@ def dd_distinct(spark, sf_dir):
        SELECT node FROM reach""",
 )
 def dd_reachability_maintained(spark, sf_dir):
-    """INCREMENTALLY MAINTAINED reachability (monotone incremental iterate,
-    reference src/operators/iterate.rs:49-127): the edge set arrives in
-    three insertion batches against a pre-closed initial fixpoint; per batch
-    only the newly attached region is derived (streaming/maintain.py::
-    IncrementalReachability). Final reached set must equal the recursive-CTE
-    oracle over ALL edges — and per-batch update-stream exactness is pinned
-    by pytest (tests/test_maintain.py)."""
+    """INCREMENTALLY MAINTAINED reachability under MIXED changes (reference
+    src/operators/iterate.rs:49-127; examples/bfs.rs maintains under
+    arbitrary updates): the edge set arrives in three batches — batch 1
+    prematurely carries a slice that batch 2 RETRACTS (delete-and-rederive
+    repairs only the affected region) and batch 3 restores, so the final
+    edge set equals the oracle's. Monotone batches take the fast path
+    (streaming/maintain.py::IncrementalReachability.add_edges); the deletion
+    batch goes through process_batch. Final reached set must equal the
+    recursive-CTE oracle over ALL edges — and per-batch update-stream
+    exactness under mixed deletions is pinned by pytest
+    (tests/test_maintain.py)."""
     from differential_dataflow_spark.streaming.maintain import (
         IncrementalReachability,
     )
@@ -217,9 +221,19 @@ def dd_reachability_maintained(spark, sf_dir):
         .distinct()
     )
     h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
-    ir = IncrementalReachability(spark, edges.filter(h == 0), roots)
-    for b in (1, 2):
-        ir.add_edges(edges.filter(h == b))
+    x = edges.filter(
+        (h == 2) & (F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    )
+    one = F.lit(1).cast("long").alias(DIFF)
+    neg = F.lit(-1).cast("long").alias(DIFF)
+    ir = IncrementalReachability(
+        spark, edges.filter(h == 0).unionByName(x), roots
+    )
+    ir.process_batch(
+        edges.filter(h == 1).select("src", "dst", one)
+        .unionByName(x.select("src", "dst", neg))
+    )
+    ir.add_edges(edges.filter(h == 2))
     from differential_dataflow_spark.session import tracked_local_checkpoint
 
     out = tracked_local_checkpoint(ir.reached_nodes())

@@ -229,22 +229,34 @@ class TraceView:
 
 
 class IncrementalReachability:
-    """Additions-only incremental ITERATE: maintain ``reach(roots)`` under
-    edge-insertion batches at O(newly derived facts) per batch — the
-    monotone case of the reference's incremental iteration
-    (src/operators/iterate.rs:49-127; the reference's bfs example maintains
-    arbitrary changes via second-order differentials — RETRACTIONS here
-    would need that machinery, so ``add_edges`` rejects negative diffs and
-    full recompute is the documented fallback, exactly the trade a monotone
-    Datalog engine makes).
+    """Incremental ITERATE: maintain ``reach(roots)`` under edge updates.
+
+    Two tiers, matching the reference's incremental iteration
+    (src/operators/iterate.rs:49-127; examples/bfs.rs maintains arbitrary
+    changes via second-order differentials):
+
+    - ``add_edges`` — the monotone fast path: per insertion batch, seed the
+      frontier with delta edges whose src is reached and dst is not, then
+      run the semi-naive loop over the combined edge trace; total per-batch
+      work is O(newly attached region).
+    - ``process_batch`` — MIXED insertions and deletions via
+      delete-and-rederive (the classic DRed decomposition of Datalog view
+      maintenance — public-literature counterpart of the reference's
+      second-order differentials), both phases frontier-bounded:
+      OVERDELETE the suspect region (closure from the deleted edges' reached
+      heads through the still-reached graph, roots excluded), REDERIVE
+      within it from the untouched boundary over the post-batch edges, emit
+      ``-1`` for the nodes that did not survive, then run the monotone
+      expansion for the insertion side. Per-batch work is O(affected
+      region), not O(graph).
 
     State: two TraceViews — the edge trace (key ``src``; bucketed parquet
     optional, so frontier expansion reads only touched src-buckets at
-    state-bigger-than-memory scale) and the reached set. Per batch: seed the
-    frontier with delta edges whose src is reached and dst is not, then run
-    the semi-naive loop over the COMBINED edge trace; every round expands
-    only the frontier, so total per-batch work is proportional to the newly
-    attached region, not the graph.
+    state-bigger-than-memory scale) and the reached set. Once retractions
+    enter a trace, reads consolidate to POSITIVE SUPPORT (sum(diff) > 0);
+    the monotone path skips that aggregate entirely (``_edges_neg`` /
+    ``_reached_neg`` flags), so insertion-only streams pay nothing for the
+    generality.
     """
 
     def __init__(
@@ -272,14 +284,45 @@ class IncrementalReachability:
             key=["src"],
         )
         self.reached = TraceView(spark, compact_every=compact_every)
+        self._edges_neg = False
+        self._reached_neg = False
         base = tracked_local_checkpoint(
             roots.select(F.col("node")).distinct()
         )
+        self.roots = base
         self.reached.seed(
             base.select("node", F.lit(1).cast("long").alias(DIFF)), key=["node"]
         )
         self._expand(base)
         self.reached.compact()  # fold the initial rounds into one base
+
+    def _reached_support(self) -> DataFrame:
+        """Current reached node set. Monotone histories read the raw union;
+        once retraction parts exist, consolidate to positive support."""
+        v = self.reached.view()
+        if not self._reached_neg:
+            return v.select("node")
+        return (
+            v.groupBy("node")
+            .agg(F.sum(DIFF).alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select("node")
+        )
+
+    def _edge_support(self, keys: DataFrame | None = None) -> DataFrame:
+        """Positive-support edge set ``(src, dst)``, bucket-pruned to the
+        given src ``keys`` when the trace is bucketed."""
+        ev = self.edges.view() if keys is None else self.edges.lookup_view(keys)
+        if keys is not None:
+            ev = ev.join(F.broadcast(keys), ["src"], "left_semi")
+        if not self._edges_neg:
+            return ev.select("src", "dst")
+        return (
+            ev.groupBy("src", "dst")
+            .agg(F.sum(DIFF).alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select("src", "dst")
+        )
 
     def _expand(self, frontier: DataFrame) -> list[DataFrame]:
         """Semi-naive loop from ``frontier`` (a checkpointed (node) set whose
@@ -290,13 +333,12 @@ class IncrementalReachability:
             if frontier.limit(1).isEmpty():
                 break
             keys = frontier.select(F.col("node").alias("src"))
-            ev = self.edges.lookup_view(keys)
             cand = (
-                ev.join(F.broadcast(keys), ["src"], "left_semi")
+                self._edge_support(keys)
                 .select(F.col("dst").alias("node"))
                 .distinct()
             )
-            seen = self.reached.view().select("node")
+            seen = self._reached_support()
             new = tracked_local_checkpoint(
                 cand.join(seen, ["node"], "left_anti")
             )
@@ -313,10 +355,9 @@ class IncrementalReachability:
         the newly reachable nodes as ``(node, diff=+1)`` update rows."""
         if DIFF in delta.columns:
             if not delta.filter(F.col(DIFF) <= 0).isEmpty():
-                raise NotImplementedError(
-                    "IncrementalReachability is monotone: edge retraction "
-                    "requires second-order differentials (reference "
-                    "examples/bfs.rs) — recompute from scratch instead"
+                raise ValueError(
+                    "add_edges is the monotone fast path; use process_batch "
+                    "for mixed insertions/deletions (delete-and-rederive)"
                 )
             delta = delta.drop(DIFF)
         # Compact BEFORE computing this batch (the previous batch's returned
@@ -324,7 +365,7 @@ class IncrementalReachability:
         # contract).
         self.reached.maybe_compact()
         d = tracked_local_checkpoint(delta.select("src", "dst").distinct())
-        reached_nodes = self.reached.view().select("node")
+        reached_nodes = self._reached_support()
         seed = tracked_local_checkpoint(
             d.join(
                 reached_nodes.withColumnRenamed("node", "src"), ["src"], "left_semi"
@@ -344,13 +385,203 @@ class IncrementalReachability:
             out = out.unionByName(p)
         return out
 
+    def process_batch(self, delta: DataFrame) -> DataFrame:
+        """Apply one MIXED batch of edge updates ``(src, dst, diff)`` —
+        insertions and deletions — via delete-and-rederive; returns the
+        reached-set update stream ``(node, diff)``. Valid until the next
+        call.
+
+        Phases (each frontier-bounded, so per-batch work is O(affected)):
+
+        1. OVERDELETE — suspect set D: closure from the deleted edges'
+           reached heads through the (post-batch) reached graph, roots
+           excluded. Any old derivation through a deleted edge (x, y) is
+           covered by seeding y directly, so the closure over surviving
+           edges is exact.
+        2. REDERIVE — within D, expand from the boundary (nodes of D with a
+           surviving in-edge from the kept region) over the post-batch
+           edges; survivors keep their derivation, the rest emit ``-1``.
+        3. INSERT — the monotone expansion for the insertion side.
+        """
+        if DIFF not in delta.columns:
+            delta = delta.withColumn(DIFF, F.lit(1).cast("long"))
+        d = tracked_local_checkpoint(
+            delta.groupBy("src", "dst")
+            .agg(F.sum(DIFF).cast("long").alias(DIFF))
+            .filter(F.col(DIFF) != 0)
+        )
+        dele = d.filter(F.col(DIFF) < 0)
+        if dele.isEmpty():
+            out = self.add_edges(d.filter(F.col(DIFF) > 0).drop(DIFF))
+            release_checkpoint(d)
+            return out
+
+        self.reached.maybe_compact()
+        self.edges.maybe_compact()
+        old_reached = tracked_local_checkpoint(self._reached_support())
+        spent: list[DataFrame] = [old_reached]
+
+        # Seal the delta, then find SUPPORT-DELETED edges: touched edges of
+        # the deletion side whose post-batch multiplicity dropped to <= 0
+        # (a retraction against remaining multiplicity deletes nothing).
+        self.edges.append(d)
+        self._edges_neg = True
+        touched = dele.select("src", "dst")
+        tv = self.edges.lookup_view(touched.select("src"))
+        post = (
+            tv.join(F.broadcast(touched), ["src", "dst"], "left_semi")
+            .groupBy("src", "dst")
+            .agg(F.sum(DIFF).alias("__s"))
+        )
+        support_deleted = touched.join(
+            post.filter(F.col("__s") > 0), ["src", "dst"], "left_anti"
+        )
+
+        # Phase 1: overdelete closure (suspect region D).
+        rsrc = old_reached.select(F.col("node").alias("src"))
+        seeds = tracked_local_checkpoint(
+            support_deleted.join(rsrc, ["src"], "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(old_reached, ["node"], "left_semi")
+            .join(self.roots, ["node"], "left_anti")
+        )
+        spent.append(seeds)
+        d_parts = [seeds]
+        frontier = seeds
+        for _ in range(self.max_iters):
+            if frontier.limit(1).isEmpty():
+                break
+            sus = d_parts[0]
+            for p in d_parts[1:]:
+                sus = sus.unionByName(p)
+            nxt = tracked_local_checkpoint(
+                self._edge_support(frontier.select(F.col("node").alias("src")))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(old_reached, ["node"], "left_semi")
+                .join(self.roots, ["node"], "left_anti")
+                .join(sus, ["node"], "left_anti")
+            )
+            spent.append(nxt)
+            d_parts.append(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError("overdelete closure did not converge")
+        suspect = d_parts[0]
+        for p in d_parts[1:]:
+            suspect = suspect.unionByName(p)
+        suspect = tracked_local_checkpoint(suspect)
+        spent.append(suspect)
+
+        # Phase 2: rederive within D from the kept boundary. Every join here
+        # streams the BIG side map-side against a broadcast small set (the
+        # suspect region / candidate tails) — the kept region is never
+        # shuffled or broadcast (a dst-keyed secondary edge trace would
+        # prune the into-suspect scan further, mirroring the reference's
+        # arrange-by-reverse-key).
+        into_suspect = tracked_local_checkpoint(
+            self._edge_support()
+            .join(
+                F.broadcast(suspect.withColumnRenamed("node", "dst")),
+                ["dst"],
+                "left_semi",
+            )
+        )
+        spent.append(into_suspect)
+        cand_tails = into_suspect.select(F.col("src").alias("node")).distinct()
+        kept_tails = (
+            old_reached.join(F.broadcast(cand_tails), ["node"], "left_semi")
+            .join(F.broadcast(suspect), ["node"], "left_anti")
+        )
+        boundary_seeds = tracked_local_checkpoint(
+            into_suspect.join(
+                F.broadcast(kept_tails.withColumnRenamed("node", "src")),
+                ["src"],
+                "left_semi",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        spent.append(boundary_seeds)
+        r_parts = [boundary_seeds]
+        frontier = boundary_seeds
+        for _ in range(self.max_iters):
+            if frontier.limit(1).isEmpty():
+                break
+            red = r_parts[0]
+            for p in r_parts[1:]:
+                red = red.unionByName(p)
+            nxt = tracked_local_checkpoint(
+                self._edge_support(frontier.select(F.col("node").alias("src")))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(F.broadcast(suspect), ["node"], "left_semi")
+                .join(red, ["node"], "left_anti")
+            )
+            spent.append(nxt)
+            r_parts.append(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError("rederive closure did not converge")
+        rederived = r_parts[0]
+        for p in r_parts[1:]:
+            rederived = rederived.unionByName(p)
+        removed = tracked_local_checkpoint(
+            suspect.join(rederived, ["node"], "left_anti")
+        )
+        if not removed.limit(1).isEmpty():
+            self.reached.append(
+                removed.select("node", F.lit(-1).cast("long").alias(DIFF))
+            )
+            self._reached_neg = True
+
+        # Phase 3: the insertion side (seeds = inserted heads now reachable).
+        ins = d.filter(F.col(DIFF) > 0).select("src", "dst")
+        now_reached = self._reached_support()
+        ins_seeds = tracked_local_checkpoint(
+            ins.join(
+                now_reached.withColumnRenamed("node", "src"), ["src"], "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(now_reached, ["node"], "left_anti")
+        )
+        added_parts: list[DataFrame] = []
+        if not ins_seeds.limit(1).isEmpty():
+            seed_part = ins_seeds.select(
+                "node", F.lit(1).cast("long").alias(DIFF)
+            )
+            self.reached.append(seed_part)
+            added_parts = [seed_part] + self._expand(ins_seeds)
+
+        out = removed.select("node", F.lit(-1).cast("long").alias(DIFF))
+        for p in added_parts:
+            out = out.unionByName(p)
+        out = tracked_local_checkpoint(out)
+        for df in spent:
+            release_checkpoint(df)
+        # Fold the ±1 pairs out of the reached trace now (one O(reached)
+        # hash aggregate per batch WITH ACTUAL REMOVALS — the DRed trade;
+        # counting-based rederivation would avoid it): afterwards every
+        # surviving row is a bare +1 again, so subsequent monotone batches
+        # and reads skip the positive-support aggregate.
+        if self._reached_neg:
+            self.reached.compact()
+            self._reached_neg = False
+            # The compacted base no longer references this batch's backings.
+            release_checkpoint(removed)
+            release_checkpoint(ins_seeds)
+        return out
+
     def reached_nodes(self) -> DataFrame:
         """Current reachable set (node rows)."""
-        return self.reached.view().select("node")
+        return self._reached_support()
 
     def release(self) -> None:
         self.edges.release()
         self.reached.release()
+        release_checkpoint(self.roots)
 
 
 class IncrementalBFS:

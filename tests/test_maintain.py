@@ -165,13 +165,89 @@ def test_incremental_reachability_matches_recompute(spark, tmp_path, bucketed):
         assert out == cur - prev          # exactly the newly reached nodes
         assert {r.node for r in ir.reached_nodes().collect()} == cur
         prev = cur
-    # retraction is rejected, not silently wrong
+    # the monotone fast path rejects retractions (process_batch handles them)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="monotone"):
+    with _pytest.raises(ValueError, match="process_batch"):
         ir.add_edges(
             spark.createDataFrame([(0, 1, -1)], "src long, dst long, diff long")
         )
+    ir.release()
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_incremental_reachability_mixed_deletions(spark, tmp_path, bucketed):
+    # Delete-and-rederive: mixed insertion/deletion batches; after each
+    # batch the maintained set equals a from-scratch BFS over the live
+    # edges, and the update stream consolidates to exactly the symmetric
+    # difference (retractions of no-longer-reachable nodes, assertions of
+    # newly reachable ones).
+    import random
+
+    from differential_dataflow_spark.streaming.maintain import (
+        IncrementalReachability,
+    )
+
+    rng = random.Random(23)
+    n = 60
+    all_edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(200)})
+    init = all_edges[:100]
+    roots = [0, 1]
+
+    def py_reach(edges):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        seen, stack = set(roots), list(roots)
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    batches = [
+        # pure deletion; deletes include high-fanout early edges
+        [(s, d, -1) for s, d in init[:25]],
+        # mixed: re-add some deleted, add new, delete others
+        [(s, d, 1) for s, d in init[:10]]
+        + [(s, d, 1) for s, d in all_edges[100:140]]
+        + [(s, d, -1) for s, d in init[30:45]],
+        # deletion of edges that were never present is the caller's error —
+        # not exercised; delete a slice of the round-2 additions instead
+        [(s, d, -1) for s, d in all_edges[100:120]]
+        + [(s, d, 1) for s, d in all_edges[140:]],
+    ]
+
+    ir = IncrementalReachability(
+        spark,
+        spark.createDataFrame(init, "src long, dst long"),
+        spark.createDataFrame([(r,) for r in roots], "node long"),
+        compact_every=3,
+        state_dir=str(tmp_path / "state") if bucketed else None,
+        n_buckets=4,
+    )
+    live: dict = {}
+    for s, d in init:
+        live[(s, d)] = live.get((s, d), 0) + 1
+    prev = py_reach([e for e, w in live.items() if w > 0])
+    for batch in batches:
+        out = ir.process_batch(
+            spark.createDataFrame(batch, "src long, dst long, diff long")
+        ).collect()
+        for s, d, w in batch:
+            live[(s, d)] = live.get((s, d), 0) + w
+        cur = py_reach([e for e, w in live.items() if w > 0])
+        # update stream: exactly the set difference, as ±1 rows
+        got = {}
+        for r in out:
+            got[r.node] = got.get(r.node, 0) + r.diff
+        got = {k: v for k, v in got.items() if v != 0}
+        want = {v: 1 for v in cur - prev} | {v: -1 for v in prev - cur}
+        assert got == want
+        assert {r.node for r in ir.reached_nodes().collect()} == cur
+        prev = cur
     ir.release()
 
 
