@@ -1751,6 +1751,32 @@ def graph_kcore(spark, sf_dir):
     return out.df.select("src", "dst")
 
 
+@query("graph_kcore_maintained")  # peel cascade parity pinned in pytest
+def graph_kcore_maintained(spark, sf_dir):
+    """MAINTAINED k-core under mixed edge changes — the reference's third
+    headline maintenance demo (README.md:367-375, streaming k-cores at
+    ~50 µs/update): the edge set arrives in three batches, the middle one
+    both inserting and DELETING a slice batch 1 carried prematurely (batch 3
+    restores it, so the final graph equals graph_kcore's input and the
+    maintained core must equal the batch peel). Per-batch membership
+    update-stream exactness vs a python peel oracle is pinned in pytest
+    (tests/test_maintain.py::test_kcore_maintainer_matches_recompute)."""
+    from differential_dataflow_spark.streaming.maintain import KCoreMaintainer
+
+    edges = _event_edges(spark, sf_dir).df.select("src", "dst")
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    part_a, part_b, part_c = (edges.filter(h == i) for i in (0, 1, 2))
+    x = part_c.filter(F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    km = KCoreMaintainer(spark, part_a.unionByName(x), k=30, compact_every=8)
+    km.process_batch(part_b, x)      # insert B, retract the early slice
+    km.process_batch(part_c, None)   # C re-adds the slice
+    from differential_dataflow_spark.session import tracked_local_checkpoint
+
+    out = tracked_local_checkpoint(km.core_edges())
+    km.release()
+    return out
+
+
 @query(
     "graph_bidirectional_sp",
     """WITH RECURSIVE e AS (

@@ -1025,3 +1025,338 @@ class CountMaintainer:
 
     def release(self) -> None:
         self.trace.release()
+
+
+class KCoreMaintainer:
+    """Maintain the k-core (maximal subgraph with all degrees >= k,
+    undirected) under edge insertion/deletion batches — the reference's
+    third headline maintenance demo (README.md:367-375, ~50 µs/update
+    streaming k-cores). Spark has no second-order differentials, so this
+    uses the classic two-phase decomposition, both phases bounded by the
+    affected region:
+
+    - SHRINK: peel cascade seeded by core endpoints of support-deleted
+      edges — each round recomputes only the frontier's in-core degrees
+      (one bucket-pruned trace lookup) and drops those below k; dropped
+      nodes' core neighbors form the next frontier. Peeling is confluent,
+      so the cascade removes exactly old-core \\ k-core(old-core under new
+      edges).
+    - GROW: candidate closure from the inserted edges' endpoints over
+      NON-core nodes with total live degree >= k (any node that newly joins
+      the core chains to an inserted edge through such nodes — including
+      shrink-phase casualties resurrected by fresh joiners), then an inner
+      peel of the candidates with the surviving core held fixed; survivors
+      join. Deletion-only batches skip GROW entirely (the core can only
+      shrink), insertion-only batches skip SHRINK.
+
+    Emits the membership update stream ``(node, diff)``; ``core_nodes`` /
+    ``core_edges`` expose the maintained state (edges in canonical
+    src < dst direction, matching ``algorithms.graphs.k_core``). Parity with
+    the batch operator across mixed batches is pinned in pytest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        k: int,
+        compact_every: int = 16,
+        state_dir: str | None = None,
+        n_buckets: int = 64,
+        max_iters: int = 10_000,
+    ):
+        """``edges``: (src, dst) undirected (one direction per edge is
+        fine — the trace stores both). Runs the initial peel (one-time
+        O(graph) cost, like any bulk load)."""
+        self.spark = spark
+        self.k = k
+        self.max_iters = max_iters
+        self._spent: list[DataFrame] = []
+        self.edges = TraceView(
+            spark,
+            compact_every=compact_every,
+            bucket_path=(state_dir + "/edges") if state_dir else None,
+            n_buckets=n_buckets,
+        )
+        # Multiset support, NOT set semantics: (a,b) and (b,a) both inserted
+        # means support 2 for the undirected edge, so deleting one copy
+        # leaves it alive — deletions cancel against multiplicity exactly
+        # like every other trace here.
+        sym = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        self.edges.seed(
+            sym.select("src", "dst", F.lit(1).cast("long").alias(DIFF)),
+            key=["src"],
+        )
+        # Initial fixpoint: full peel from all nodes.
+        all_nodes = self._ck(sym.select(F.col("src").alias("node")).distinct())
+        self.core = self._peel(all_nodes, fixed=None, bulk_first=True)
+
+    # -- helpers ------------------------------------------------------- #
+
+    def _ck(self, df: DataFrame) -> DataFrame:
+        out = tracked_local_checkpoint(df)
+        self._spent.append(out)
+        return out
+
+    def _reap(self) -> None:
+        for df in self._spent:
+            if df is not self.core:
+                release_checkpoint(df)
+        self._spent = [df for df in self._spent if df is self.core]
+
+    def _support_from(self, srcs: DataFrame | None) -> DataFrame:
+        """Live (src, dst) support edges out of the given ``(src)`` key set
+        (bucket-pruned; consolidates only the touched rows). ``None`` = the
+        whole graph's support, one full aggregate — bulk loads only, never
+        a per-batch path."""
+        if srcs is None:
+            ev = self.edges.view()
+        else:
+            ev = self.edges.lookup_view(srcs).join(
+                F.broadcast(srcs), ["src"], "left_semi"
+            )
+        return (
+            ev.groupBy("src", "dst")
+            .agg(F.sum(DIFF).alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select("src", "dst")
+        )
+
+    def _degrees_within(
+        self, nodes: DataFrame, members: DataFrame | None
+    ) -> DataFrame:
+        """(node, deg): each ``nodes`` row's live-degree counting only
+        neighbors inside ``members`` (None = every neighbor, i.e. total
+        degree). Scale-safe for LARGE member sets: only the frontier's
+        neighbor set is ever broadcast — ``members`` streams map-side
+        against it to produce the (small) live-member subset, which is then
+        broadcast back into the frontier-incident edges. ``nodes=None``
+        computes every node's degree (bulk load)."""
+        sup = self._support_from(
+            None if nodes is None else nodes.select(F.col("node").alias("src"))
+        )
+        if members is not None:
+            nbrs = sup.select(F.col("dst").alias("node")).distinct()
+            live = members.join(F.broadcast(nbrs), ["node"], "left_semi")
+            sup = sup.join(
+                F.broadcast(live.withColumnRenamed("node", "dst")),
+                ["dst"],
+                "left_semi",
+            )
+        return (
+            sup.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .select(F.col("src").alias("node"), "deg")
+        )
+
+    def _peel(
+        self,
+        candidates: DataFrame,
+        fixed: DataFrame | None,
+        bulk_first: bool = False,
+    ) -> DataFrame:
+        """Iteratively drop ``candidates`` whose degree within
+        (``fixed`` ∪ surviving candidates) is < k; returns the checkpointed
+        survivors. Frontier-driven: after the first full pass, only nodes
+        adjacent to a drop are re-checked. ``bulk_first`` marks the initial
+        fixpoint, where candidates = every node: the first round is then one
+        full degree aggregate instead of a broadcast of the whole node set."""
+        cur = self._ck(candidates)
+        frontier = cur
+        first = True
+        for _ in range(self.max_iters):
+            if frontier.limit(1).isEmpty():
+                return cur
+            if bulk_first and first:
+                deg = self._degrees_within(None, None)
+            else:
+                members = (
+                    cur if fixed is None else cur.unionByName(fixed)
+                )
+                deg = self._degrees_within(frontier, members)
+            first = False
+            drop = self._ck(
+                frontier.join(
+                    deg.filter(F.col("deg") >= self.k), ["node"], "left_anti"
+                )
+            )
+            if drop.limit(1).isEmpty():
+                return cur
+            cur = self._ck(cur.join(drop, ["node"], "left_anti"))
+            # next frontier: surviving candidates adjacent to a dropped node
+            frontier = self._ck(
+                self._support_from(drop.select(F.col("node").alias("src")))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(cur, ["node"], "left_semi")
+            )
+        raise RuntimeError("k-core peel did not converge")
+
+    # -- the maintenance step ------------------------------------------ #
+
+    def process_batch(
+        self, insert: DataFrame | None, delete: DataFrame | None
+    ) -> DataFrame:
+        """Apply edge insertions/deletions (src, dst); returns the core-
+        membership update stream ``(node, diff)``. Valid until next call."""
+        self._reap()
+        old_core = self.core
+        ins = (
+            tracked_local_checkpoint(insert.select("src", "dst").distinct())
+            if insert is not None
+            else None
+        )
+        dele = (
+            tracked_local_checkpoint(delete.select("src", "dst").distinct())
+            if delete is not None
+            else None
+        )
+        self.edges.maybe_compact()
+        for d, w in ((ins, 1), (dele, -1)):
+            if d is not None:
+                sym = d.unionByName(
+                    d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+                self.edges.append(
+                    tracked_local_checkpoint(
+                        sym.select(
+                            "src", "dst", F.lit(w).cast("long").alias(DIFF)
+                        )
+                    )
+                )
+
+        core = old_core
+        if dele is not None:
+            # SHRINK: core endpoints of deleted edges seed the peel.
+            ends = self._ck(
+                dele.select(F.col("src").alias("node"))
+                .unionByName(dele.select(F.col("dst").alias("node")))
+                .distinct()
+                .join(core, ["node"], "left_semi")
+            )
+            if not ends.limit(1).isEmpty():
+                # Peel the whole core lazily but frontier-seeded: survivors
+                # start as the full core, first check only touches `ends`.
+                cur = core
+                frontier = ends
+                for _ in range(self.max_iters):
+                    if frontier.limit(1).isEmpty():
+                        break
+                    deg = self._degrees_within(frontier, cur)
+                    drop = self._ck(
+                        frontier.join(
+                            deg.filter(F.col("deg") >= self.k),
+                            ["node"],
+                            "left_anti",
+                        )
+                    )
+                    if drop.limit(1).isEmpty():
+                        break
+                    cur = self._ck(cur.join(drop, ["node"], "left_anti"))
+                    frontier = self._ck(
+                        self._support_from(
+                            drop.select(F.col("node").alias("src"))
+                        )
+                        .select(F.col("dst").alias("node"))
+                        .distinct()
+                        .join(cur, ["node"], "left_semi")
+                    )
+                else:
+                    raise RuntimeError("k-core shrink did not converge")
+                core = cur
+
+        if ins is not None:
+            # GROW: candidate closure from inserted endpoints over non-core
+            # nodes with total degree >= k, then peel with `core` fixed.
+            def eligible(nodes: DataFrame) -> DataFrame:
+                cand = self._ck(nodes.join(core, ["node"], "left_anti"))
+                deg = self._degrees_within(cand, members=None)  # total degree
+                return self._ck(
+                    cand.join(
+                        deg.filter(F.col("deg") >= self.k), ["node"], "left_semi"
+                    )
+                )
+
+            seeds = eligible(
+                ins.select(F.col("src").alias("node"))
+                .unionByName(ins.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            cand_parts = [seeds]
+            frontier = seeds
+            for _ in range(self.max_iters):
+                if frontier.limit(1).isEmpty():
+                    break
+                acc = cand_parts[0]
+                for p in cand_parts[1:]:
+                    acc = acc.unionByName(p)
+                nxt = eligible(
+                    self._support_from(
+                        frontier.select(F.col("node").alias("src"))
+                    )
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                )
+                nxt = self._ck(nxt.join(acc, ["node"], "left_anti"))
+                cand_parts.append(nxt)
+                frontier = nxt
+            else:
+                raise RuntimeError("k-core grow closure did not converge")
+            cands = cand_parts[0]
+            for p in cand_parts[1:]:
+                cands = cands.unionByName(p)
+            cands = self._ck(cands)
+            if not cands.limit(1).isEmpty():
+                joined = self._peel(cands, fixed=core)
+                core = self._ck(core.unionByName(joined))
+
+        core = self._ck(core) if core is not self.core else core
+        o = old_core.withColumn("__o", F.lit(1))
+        n_ = core.withColumn("__n", F.lit(1))
+        j = o.join(n_, ["node"], "full_outer")
+        out = (
+            j.filter(F.col("__o").isNull())
+            .select("node", F.lit(1).cast("long").alias(DIFF))
+            .unionByName(
+                j.filter(F.col("__n").isNull()).select(
+                    "node", F.lit(-1).cast("long").alias(DIFF)
+                )
+            )
+        )
+        out = tracked_local_checkpoint(out)
+        self.core = core
+        return out
+
+    def core_nodes(self) -> DataFrame:
+        return self.core
+
+    def core_edges(self) -> DataFrame:
+        """Surviving edges in canonical direction (src < dst), matching the
+        batch operator's output. Snapshot read — one consolidation of the
+        live edge support plus two membership semijoins (no broadcast of the
+        core; Spark picks the join strategy by size)."""
+        v = self.edges.view()
+        sup = (
+            v.groupBy("src", "dst")
+            .agg(F.sum(DIFF).alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select("src", "dst")
+        )
+        return (
+            sup.join(
+                self.core.withColumnRenamed("node", "src"), ["src"], "left_semi"
+            )
+            .join(
+                self.core.withColumnRenamed("node", "dst"), ["dst"], "left_semi"
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+
+    def release(self) -> None:
+        self.edges.release()
+        for df in self._spent:
+            release_checkpoint(df)
+        self._spent = []

@@ -377,3 +377,86 @@ def test_count_maintainer_inside_structured_streaming(spark, tmp_path):
         k: v for k, v in state.items() if v
     }
     cm.release()
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_kcore_maintainer_matches_recompute(spark, tmp_path, bucketed):
+    # Maintained k-core (reference README.md:367-375 streaming k-cores):
+    # after each mixed insertion/deletion batch the maintained core must
+    # equal a from-scratch python peel of the live graph, and the update
+    # stream must be exactly the membership symmetric difference.
+    import random
+
+    from differential_dataflow_spark.streaming.maintain import KCoreMaintainer
+
+    def py_kcore(edges, k):
+        adj = {}
+        for s, d in edges:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        # include self-loop-only nodes with empty adjacency
+        nodes = set()
+        for s, d in edges:
+            nodes.add(s); nodes.add(d)
+        core = set(nodes)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(core):
+                if len(adj.get(v, set()) & core) < k:
+                    core.discard(v)
+                    changed = True
+        return core
+
+    rng = random.Random(31)
+    n, k = 40, 3
+    all_edges = list(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(260) }
+    )
+    all_edges = [(s, d) for s, d in all_edges if s != d]
+    init = all_edges[:140]
+    batches = [
+        (None, init[:40]),                       # pure delete: core shrinks
+        (all_edges[140:200], init[40:60]),       # mixed
+        (init[:40], None),                       # pure insert: core regrows
+        (all_edges[200:], init[60:80]),          # mixed again
+    ]
+
+    km = KCoreMaintainer(
+        spark,
+        spark.createDataFrame(init, "src long, dst long"),
+        k=k,
+        compact_every=3,
+        state_dir=str(tmp_path / "state") if bucketed else None,
+        n_buckets=4,
+    )
+    live = set(init)
+    prev = py_kcore(live, k)
+    assert {r.node for r in km.core_nodes().collect()} == prev
+    for ins, dele in batches:
+        out = km.process_batch(
+            spark.createDataFrame(ins, "src long, dst long") if ins else None,
+            spark.createDataFrame(dele, "src long, dst long") if dele else None,
+        ).collect()
+        live |= set(ins or [])
+        live -= set(dele or [])
+        cur = py_kcore(live, k)
+        got = {}
+        for r in out:
+            got[r.node] = got.get(r.node, 0) + r.diff
+        got = {kk: v for kk, v in got.items() if v != 0}
+        want = {v: 1 for v in cur - prev} | {v: -1 for v in prev - cur}
+        assert got == want
+        assert {r.node for r in km.core_nodes().collect()} == cur
+        # surviving edges match the induced live support
+        want_edges = {
+            (min(s, d), max(s, d))
+            for s, d in live
+            if s in cur and d in cur and s != d
+        }
+        got_edges = {(r.src, r.dst) for r in km.core_edges().collect()}
+        assert got_edges == want_edges
+        prev = cur
+    km.release()
