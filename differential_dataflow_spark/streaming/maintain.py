@@ -1155,26 +1155,33 @@ class KCoreMaintainer:
         self,
         candidates: DataFrame,
         fixed: DataFrame | None,
+        frontier0: DataFrame | None = None,
         bulk_first: bool = False,
     ) -> DataFrame:
         """Iteratively drop ``candidates`` whose degree within
-        (``fixed`` ∪ surviving candidates) is < k; returns the checkpointed
-        survivors. Frontier-driven: after the first full pass, only nodes
-        adjacent to a drop are re-checked. ``bulk_first`` marks the initial
-        fixpoint, where candidates = every node: the first round is then one
-        full degree aggregate instead of a broadcast of the whole node set."""
-        cur = self._ck(candidates)
-        frontier = cur
+        (``fixed`` ∪ surviving candidates) is < k; returns the survivors
+        (checkpointed iff anything dropped — callers pass checkpointed
+        candidates). ``frontier0`` seeds a narrower first check (shrink
+        cascades start at the deleted edges' endpoints, not the whole set);
+        afterwards only nodes adjacent to a drop are re-checked.
+
+        TWO driver actions per round: the round's drop set is the only eager
+        checkpoint (its job folds the lazy frontier/degree evaluation) plus
+        one isEmpty on it; survivors and frontier stay lazy chains over the
+        per-round drop checkpoints, lineage-cut every few rounds. This is
+        what keeps a cascade on a latency-floor-bound micro-batch round at
+        ~2 jobs instead of ~5. ``bulk_first`` marks the initial fixpoint
+        (candidates = every node): round one is then one full degree
+        aggregate instead of a broadcast of the whole node set."""
+        cur = candidates
+        frontier = frontier0 if frontier0 is not None else candidates
         first = True
+        rounds = 0
         for _ in range(self.max_iters):
-            if frontier.limit(1).isEmpty():
-                return cur
             if bulk_first and first:
                 deg = self._degrees_within(None, None)
             else:
-                members = (
-                    cur if fixed is None else cur.unionByName(fixed)
-                )
+                members = cur if fixed is None else cur.unionByName(fixed)
                 deg = self._degrees_within(frontier, members)
             first = False
             drop = self._ck(
@@ -1183,15 +1190,18 @@ class KCoreMaintainer:
                 )
             )
             if drop.limit(1).isEmpty():
-                return cur
-            cur = self._ck(cur.join(drop, ["node"], "left_anti"))
+                return self._ck(cur) if rounds else candidates
+            rounds += 1
+            cur = cur.join(drop, ["node"], "left_anti")
             # next frontier: surviving candidates adjacent to a dropped node
-            frontier = self._ck(
+            frontier = (
                 self._support_from(drop.select(F.col("node").alias("src")))
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(cur, ["node"], "left_semi")
             )
+            if rounds % 4 == 0:
+                cur = self._ck(cur)  # bound the anti-join chain depth
         raise RuntimeError("k-core peel did not converge")
 
     # -- the maintenance step ------------------------------------------ #
@@ -1229,90 +1239,64 @@ class KCoreMaintainer:
 
         core = old_core
         if dele is not None:
-            # SHRINK: core endpoints of deleted edges seed the peel.
-            ends = self._ck(
+            # SHRINK: core endpoints of deleted edges seed the peel; the
+            # whole core is the (lazy) candidate set, only the seed frontier
+            # is degree-checked first.
+            ends = (
                 dele.select(F.col("src").alias("node"))
                 .unionByName(dele.select(F.col("dst").alias("node")))
                 .distinct()
                 .join(core, ["node"], "left_semi")
             )
-            if not ends.limit(1).isEmpty():
-                # Peel the whole core lazily but frontier-seeded: survivors
-                # start as the full core, first check only touches `ends`.
-                cur = core
-                frontier = ends
-                for _ in range(self.max_iters):
-                    if frontier.limit(1).isEmpty():
-                        break
-                    deg = self._degrees_within(frontier, cur)
-                    drop = self._ck(
-                        frontier.join(
-                            deg.filter(F.col("deg") >= self.k),
-                            ["node"],
-                            "left_anti",
-                        )
-                    )
-                    if drop.limit(1).isEmpty():
-                        break
-                    cur = self._ck(cur.join(drop, ["node"], "left_anti"))
-                    frontier = self._ck(
-                        self._support_from(
-                            drop.select(F.col("node").alias("src"))
-                        )
-                        .select(F.col("dst").alias("node"))
-                        .distinct()
-                        .join(cur, ["node"], "left_semi")
-                    )
-                else:
-                    raise RuntimeError("k-core shrink did not converge")
-                core = cur
+            core = self._peel(core, fixed=None, frontier0=ends)
 
         if ins is not None:
             # GROW: candidate closure from inserted endpoints over non-core
             # nodes with total degree >= k, then peel with `core` fixed.
+            # Each closure round is one eager checkpoint (the next eligible
+            # ring) plus one isEmpty — the eligibility joins stay lazy
+            # inside that job.
             def eligible(nodes: DataFrame) -> DataFrame:
-                cand = self._ck(nodes.join(core, ["node"], "left_anti"))
+                cand = nodes.join(core, ["node"], "left_anti")
                 deg = self._degrees_within(cand, members=None)  # total degree
-                return self._ck(
-                    cand.join(
-                        deg.filter(F.col("deg") >= self.k), ["node"], "left_semi"
-                    )
+                return cand.join(
+                    deg.filter(F.col("deg") >= self.k), ["node"], "left_semi"
                 )
 
-            seeds = eligible(
-                ins.select(F.col("src").alias("node"))
-                .unionByName(ins.select(F.col("dst").alias("node")))
-                .distinct()
-            )
-            cand_parts = [seeds]
-            frontier = seeds
-            for _ in range(self.max_iters):
-                if frontier.limit(1).isEmpty():
-                    break
-                acc = cand_parts[0]
-                for p in cand_parts[1:]:
-                    acc = acc.unionByName(p)
-                nxt = eligible(
-                    self._support_from(
-                        frontier.select(F.col("node").alias("src"))
-                    )
-                    .select(F.col("dst").alias("node"))
+            seeds = self._ck(
+                eligible(
+                    ins.select(F.col("src").alias("node"))
+                    .unionByName(ins.select(F.col("dst").alias("node")))
                     .distinct()
                 )
-                nxt = self._ck(nxt.join(acc, ["node"], "left_anti"))
-                cand_parts.append(nxt)
-                frontier = nxt
-            else:
-                raise RuntimeError("k-core grow closure did not converge")
-            cands = cand_parts[0]
-            for p in cand_parts[1:]:
-                cands = cands.unionByName(p)
-            cands = self._ck(cands)
-            if not cands.limit(1).isEmpty():
+            )
+            if not seeds.limit(1).isEmpty():
+                cand_parts = [seeds]
+                frontier = seeds
+                for _ in range(self.max_iters):
+                    acc = cand_parts[0]
+                    for p in cand_parts[1:]:
+                        acc = acc.unionByName(p)
+                    nxt = self._ck(
+                        eligible(
+                            self._support_from(
+                                frontier.select(F.col("node").alias("src"))
+                            )
+                            .select(F.col("dst").alias("node"))
+                            .distinct()
+                        ).join(acc, ["node"], "left_anti")
+                    )
+                    if nxt.limit(1).isEmpty():
+                        break
+                    cand_parts.append(nxt)
+                    frontier = nxt
+                else:
+                    raise RuntimeError("k-core grow closure did not converge")
+                cands = cand_parts[0]
+                for p in cand_parts[1:]:
+                    cands = cands.unionByName(p)
                 joined = self._peel(cands, fixed=core)
                 core = self._ck(core.unionByName(joined))
-
-        core = self._ck(core) if core is not self.core else core
         o = old_core.withColumn("__o", F.lit(1))
         n_ = core.withColumn("__n", F.lit(1))
         j = o.join(n_, ["node"], "full_outer")
