@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from differential_dataflow_spark.functions.text import tokens
+from differential_dataflow_spark.session import tracked_local_checkpoint
 
 PRIME = 2147483647  # 2^31 - 1: minhash arithmetic stays well inside int64
 
@@ -441,10 +442,12 @@ def incremental_exact_dedup(arrangement, delta: DataFrame, text_col: str = "text
     """
     from differential_dataflow_spark.collection import DiffCollection
 
-    hashed = delta.select(
-        F.col(id_col).alias("doc_id"),
-        F.xxhash64(normalized(text_col)).alias("text_hash"),
-    ).localCheckpoint(eager=True)
+    hashed = tracked_local_checkpoint(
+        delta.select(
+            F.col(id_col).alias("doc_id"),
+            F.xxhash64(normalized(text_col)).alias("text_hash"),
+        )
+    )
     batch_keepers = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("batch_keeper")
     )
@@ -460,11 +463,13 @@ def incremental_exact_dedup(arrangement, delta: DataFrame, text_col: str = "text
         resolved = batch_keepers.join(existing, "text_hash", "left")
     else:
         resolved = batch_keepers.withColumn("corpus_keeper", F.lit(None).cast("long"))
-    resolved = resolved.select(
-        "text_hash",
-        F.coalesce("corpus_keeper", "batch_keeper").alias("keeper_id"),
-        F.col("corpus_keeper").isNull().alias("__new_rep"),
-    ).localCheckpoint(eager=True)
+    resolved = tracked_local_checkpoint(
+        resolved.select(
+            "text_hash",
+            F.coalesce("corpus_keeper", "batch_keeper").alias("keeper_id"),
+            F.col("corpus_keeper").isNull().alias("__new_rep"),
+        )
+    )
     # Seal the new representatives so the next delta batch sees them.
     new_reps = resolved.filter(F.col("__new_rep")).select("text_hash", "keeper_id")
     arrangement.insert_batch(DiffCollection.from_df(new_reps, epoch=len(arrangement.batches)))

@@ -443,6 +443,7 @@ def dd_trace_lookup(spark, sf_dir):
     import uuid
 
     from differential_dataflow_spark.operators.arrange import Arrangement
+    from differential_dataflow_spark.session import tracked_local_checkpoint
 
     orders = _t(spark, sf_dir, "orders")
     updates = DiffCollection.from_df(
@@ -456,7 +457,7 @@ def dd_trace_lookup(spark, sf_dir):
         keys = spark.range(0, 50).select(F.col("id").alias("o_custkey"))
         out = arr.lookup(keys, at=1995 - 1992)
         # Materialize before the trace dir is deleted.
-        out = out.localCheckpoint(eager=True)
+        out = tracked_local_checkpoint(out)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -123,6 +123,32 @@ def tracked_local_checkpoint(df, eager: bool = True):
     return out
 
 
+def counted_local_checkpoint(df) -> tuple:
+    """``tracked_local_checkpoint`` fused with a row count: ONE job instead
+    of two. Iterative maintenance loops (BFS relaxation, reachability
+    closure, k-core peel) pay the driver-round floor per Spark JOB, and the
+    dominant per-round pattern was eager-checkpoint (job 1) followed by
+    ``limit(1).isEmpty()`` to test convergence (job 2). Marking the
+    checkpoint LAZY and driving materialization with ``count()`` persists
+    the blocks and answers the emptiness probe in the same job, halving the
+    per-round driver floor. Returns ``(checkpointed_df, row_count)``."""
+    spark = df.sparkSession
+    with _ckpt_lock:
+        before = {rid for rid, _ in _persistent_entries(spark)}
+        out = df.localCheckpoint(eager=False)
+        n = out.count()  # materializes AND persists the checkpoint blocks
+        try:
+            analyzed = out._jdf.queryExecution().analyzed()
+            out._ckpt_rdds = [analyzed.rdd()]
+        except Exception:
+            out._ckpt_rdds = [
+                jrdd
+                for rid, jrdd in _persistent_entries(spark)
+                if rid not in before
+            ]
+    return out, n
+
+
 def release_checkpoint(df, blocking: bool = False) -> None:
     """Free the block-manager storage of a tracked_local_checkpoint result
     (no-op for DataFrames without a tracked handle)."""

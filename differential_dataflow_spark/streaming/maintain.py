@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF
 from differential_dataflow_spark.session import (
+    counted_local_checkpoint,
     release_checkpoint,
     tracked_local_checkpoint,
 )
@@ -324,13 +325,19 @@ class IncrementalReachability:
             .select("src", "dst")
         )
 
-    def _expand(self, frontier: DataFrame) -> list[DataFrame]:
+    def _expand(
+        self, frontier: DataFrame, n_frontier: int | None = None
+    ) -> list[DataFrame]:
         """Semi-naive loop from ``frontier`` (a checkpointed (node) set whose
         rows are already in ``reached``); appends each round's new nodes to
-        the reached trace and returns the new parts."""
+        the reached trace and returns the new parts. One counted-checkpoint
+        job per round (materialization + convergence probe fused); pass the
+        frontier's known row count to skip the initial probe."""
         new_parts: list[DataFrame] = []
         for _ in range(self.max_iters):
-            if frontier.limit(1).isEmpty():
+            if n_frontier is None:
+                n_frontier = 0 if frontier.limit(1).isEmpty() else 1
+            if n_frontier == 0:
                 break
             keys = frontier.select(F.col("node").alias("src"))
             cand = (
@@ -339,7 +346,7 @@ class IncrementalReachability:
                 .distinct()
             )
             seen = self._reached_support()
-            new = tracked_local_checkpoint(
+            new, n_frontier = counted_local_checkpoint(
                 cand.join(seen, ["node"], "left_anti")
             )
             part = new.select("node", F.lit(1).cast("long").alias(DIFF))
@@ -366,7 +373,7 @@ class IncrementalReachability:
         self.reached.maybe_compact()
         d = tracked_local_checkpoint(delta.select("src", "dst").distinct())
         reached_nodes = self._reached_support()
-        seed = tracked_local_checkpoint(
+        seed, n_seed = counted_local_checkpoint(
             d.join(
                 reached_nodes.withColumnRenamed("node", "src"), ["src"], "left_semi"
             )
@@ -379,7 +386,7 @@ class IncrementalReachability:
         self.edges.append(d.select("src", "dst", F.lit(1).cast("long").alias(DIFF)))
         seed_part = seed.select("node", F.lit(1).cast("long").alias(DIFF))
         self.reached.append(seed_part)
-        parts = [seed_part] + self._expand(seed)
+        parts = [seed_part] + self._expand(seed, n_seed)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -437,9 +444,10 @@ class IncrementalReachability:
             post.filter(F.col("__s") > 0), ["src", "dst"], "left_anti"
         )
 
-        # Phase 1: overdelete closure (suspect region D).
+        # Phase 1: overdelete closure (suspect region D). One counted-
+        # checkpoint job per round (materialization + convergence fused).
         rsrc = old_reached.select(F.col("node").alias("src"))
-        seeds = tracked_local_checkpoint(
+        seeds, n_front = counted_local_checkpoint(
             support_deleted.join(rsrc, ["src"], "left_semi")
             .select(F.col("dst").alias("node"))
             .distinct()
@@ -450,12 +458,12 @@ class IncrementalReachability:
         d_parts = [seeds]
         frontier = seeds
         for _ in range(self.max_iters):
-            if frontier.limit(1).isEmpty():
+            if n_front == 0:
                 break
             sus = d_parts[0]
             for p in d_parts[1:]:
                 sus = sus.unionByName(p)
-            nxt = tracked_local_checkpoint(
+            nxt, n_front = counted_local_checkpoint(
                 self._edge_support(frontier.select(F.col("node").alias("src")))
                 .select(F.col("dst").alias("node"))
                 .distinct()
@@ -471,7 +479,7 @@ class IncrementalReachability:
         suspect = d_parts[0]
         for p in d_parts[1:]:
             suspect = suspect.unionByName(p)
-        suspect = tracked_local_checkpoint(suspect)
+        suspect, n_suspect = counted_local_checkpoint(suspect)
         spent.append(suspect)
 
         # Phase 2: rederive within D from the kept boundary. Every join here
@@ -479,67 +487,76 @@ class IncrementalReachability:
         # suspect region / candidate tails) — the kept region is never
         # shuffled or broadcast (a dst-keyed secondary edge trace would
         # prune the into-suspect scan further, mirroring the reference's
-        # arrange-by-reverse-key).
-        into_suspect = tracked_local_checkpoint(
-            self._edge_support()
-            .join(
-                F.broadcast(suspect.withColumnRenamed("node", "dst")),
-                ["dst"],
-                "left_semi",
+        # arrange-by-reverse-key). Skipped outright when the deletions
+        # touched no reached derivation (n_suspect == 0).
+        removed, n_removed = suspect, 0
+        if n_suspect:
+            into_suspect = tracked_local_checkpoint(
+                self._edge_support()
+                .join(
+                    F.broadcast(suspect.withColumnRenamed("node", "dst")),
+                    ["dst"],
+                    "left_semi",
+                )
             )
-        )
-        spent.append(into_suspect)
-        cand_tails = into_suspect.select(F.col("src").alias("node")).distinct()
-        kept_tails = (
-            old_reached.join(F.broadcast(cand_tails), ["node"], "left_semi")
-            .join(F.broadcast(suspect), ["node"], "left_anti")
-        )
-        boundary_seeds = tracked_local_checkpoint(
-            into_suspect.join(
-                F.broadcast(kept_tails.withColumnRenamed("node", "src")),
-                ["src"],
-                "left_semi",
+            spent.append(into_suspect)
+            cand_tails = into_suspect.select(F.col("src").alias("node")).distinct()
+            kept_tails = (
+                old_reached.join(F.broadcast(cand_tails), ["node"], "left_semi")
+                .join(F.broadcast(suspect), ["node"], "left_anti")
             )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        spent.append(boundary_seeds)
-        r_parts = [boundary_seeds]
-        frontier = boundary_seeds
-        for _ in range(self.max_iters):
-            if frontier.limit(1).isEmpty():
-                break
-            red = r_parts[0]
-            for p in r_parts[1:]:
-                red = red.unionByName(p)
-            nxt = tracked_local_checkpoint(
-                self._edge_support(frontier.select(F.col("node").alias("src")))
+            boundary_seeds, n_front = counted_local_checkpoint(
+                into_suspect.join(
+                    F.broadcast(kept_tails.withColumnRenamed("node", "src")),
+                    ["src"],
+                    "left_semi",
+                )
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(F.broadcast(suspect), ["node"], "left_semi")
-                .join(red, ["node"], "left_anti")
             )
-            spent.append(nxt)
-            r_parts.append(nxt)
-            frontier = nxt
-        else:
-            raise RuntimeError("rederive closure did not converge")
-        rederived = r_parts[0]
-        for p in r_parts[1:]:
-            rederived = rederived.unionByName(p)
-        removed = tracked_local_checkpoint(
-            suspect.join(rederived, ["node"], "left_anti")
-        )
-        if not removed.limit(1).isEmpty():
-            self.reached.append(
-                removed.select("node", F.lit(-1).cast("long").alias(DIFF))
+            spent.append(boundary_seeds)
+            r_parts = [boundary_seeds]
+            frontier = boundary_seeds
+            for _ in range(self.max_iters):
+                if n_front == 0:
+                    break
+                red = r_parts[0]
+                for p in r_parts[1:]:
+                    red = red.unionByName(p)
+                nxt, n_front = counted_local_checkpoint(
+                    self._edge_support(frontier.select(F.col("node").alias("src")))
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(F.broadcast(suspect), ["node"], "left_semi")
+                    .join(red, ["node"], "left_anti")
+                )
+                spent.append(nxt)
+                r_parts.append(nxt)
+                frontier = nxt
+            else:
+                raise RuntimeError("rederive closure did not converge")
+            rederived = r_parts[0]
+            for p in r_parts[1:]:
+                rederived = rederived.unionByName(p)
+            removed, n_removed = counted_local_checkpoint(
+                suspect.join(rederived, ["node"], "left_anti")
             )
-            self._reached_neg = True
+            if n_removed:
+                self.reached.append(
+                    removed.select("node", F.lit(-1).cast("long").alias(DIFF))
+                )
+                self._reached_neg = True
+            else:
+                # Everything rederived — drop the empty checkpoint now (the
+                # compact branch below won't run to release it) and keep an
+                # EMPTY placeholder (suspect itself is non-empty here).
+                release_checkpoint(removed)
+                removed = suspect.limit(0)
 
         # Phase 3: the insertion side (seeds = inserted heads now reachable).
         ins = d.filter(F.col(DIFF) > 0).select("src", "dst")
         now_reached = self._reached_support()
-        ins_seeds = tracked_local_checkpoint(
+        ins_seeds, n_ins = counted_local_checkpoint(
             ins.join(
                 now_reached.withColumnRenamed("node", "src"), ["src"], "left_semi"
             )
@@ -548,12 +565,12 @@ class IncrementalReachability:
             .join(now_reached, ["node"], "left_anti")
         )
         added_parts: list[DataFrame] = []
-        if not ins_seeds.limit(1).isEmpty():
+        if n_ins:
             seed_part = ins_seeds.select(
                 "node", F.lit(1).cast("long").alias(DIFF)
             )
             self.reached.append(seed_part)
-            added_parts = [seed_part] + self._expand(ins_seeds)
+            added_parts = [seed_part] + self._expand(ins_seeds, n_ins)
 
         out = removed.select("node", F.lit(-1).cast("long").alias(DIFF))
         for p in added_parts:
@@ -645,7 +662,7 @@ class IncrementalBFS:
         start = self._ck(
             spark.createDataFrame([(root, 0)], "node long, dist long")
         )
-        self.dist = self._relax_down(start, None, self._ck(self._edges_pos()))
+        self.dist = self._relax_down(start, 1, None, self._ck(self._edges_pos()))
 
     # -- helpers ------------------------------------------------------- #
 
@@ -658,6 +675,15 @@ class IncrementalBFS:
         out = tracked_local_checkpoint(df)
         self._spent.append(out)
         return out
+
+    def _ckn(self, df: DataFrame) -> tuple[DataFrame, int]:
+        """_ck fused with the convergence probe: checkpoint + row count in
+        ONE job (counted_local_checkpoint) — every loop here is driver-floor
+        bound, so the separate limit(1).isEmpty() job per round was ~half
+        the per-round cost."""
+        out, n = counted_local_checkpoint(df)
+        self._spent.append(out)
+        return out, n
 
     def _reap(self) -> None:
         for df in self._spent:
@@ -676,23 +702,25 @@ class IncrementalBFS:
         )
 
     def _relax_down(
-        self, improved: DataFrame, dist: DataFrame | None, live: DataFrame
+        self,
+        improved: DataFrame,
+        n_improved: int,
+        dist: DataFrame | None,
+        live: DataFrame,
     ) -> DataFrame:
         """Decrease-only min-merge relaxation over the pre-consolidated
         ``live`` edge map (consolidating the trace ONCE per batch instead of
         once per round was worth a shuffle per round): propagate better
-        distances from ``improved`` (node, dist) until no improvement.
-        Returns the new checkpointed dist map. O(improved region) per
-        round."""
+        distances from ``improved`` (node, dist, with known row count) until
+        no improvement. ONE driver job per round — the round's `better` set
+        is a counted checkpoint, so materialization and the convergence
+        probe share a job; dist stays a lazy anti-join chain over the
+        per-round checkpoints, materialized once per BATCH. Returns the new
+        checkpointed dist map. O(improved region) per round."""
         dist = improved if dist is None else dist
         rounds = 0
         for _ in range(self.max_iters):
-            if improved.limit(1).isEmpty():
-                # dist is a lazy anti-join chain over the per-round
-                # checkpointed `better` parts — one materialization per
-                # BATCH instead of one per round (the chain depth is the
-                # round count, small; the per-round checkpoint was ~40% of
-                # the driver-round floor).
+            if n_improved == 0:
                 return self._ck(dist) if rounds else dist
             cand = (
                 live.join(
@@ -704,7 +732,7 @@ class IncrementalBFS:
                 .agg(F.min("__nd").alias("__nd"))
             )
             merged = cand.join(dist, ["node"], "left")
-            better = self._ck(
+            better, n_improved = self._ckn(
                 merged.filter(
                     F.col("dist").isNull() | (F.col("__nd") < F.col("dist"))
                 ).select("node", F.col("__nd").alias("dist"))
@@ -726,30 +754,50 @@ class IncrementalBFS:
         update stream (node, dist, diff). Valid until the next call."""
         self._reap()
         old_dist = self.dist
-        edges_old = self._ck(self._edges_pos())
-        # ins/dele become TRACE PARTS (long-lived edge state, released by
-        # the TraceView's own compaction) — plain checkpoints, NOT _ck:
-        # reaping them at the next batch would tear the edge trace's blocks
-        # out from under later rounds.
+        # The pre-batch edge support is only consulted by the deletion
+        # phase's SP-DAG closure — skip its consolidation job entirely on
+        # insert-only batches.
+        edges_old = (
+            self._ck(self._edges_pos()) if delete is not None else None
+        )
+        # One TAGGED delta checkpoint covers both sides (one job instead of
+        # two) and doubles as the trace part — a plain checkpoint, NOT _ck:
+        # it is long-lived edge state, released by the TraceView's own
+        # compaction, and reaping it at the next batch would tear the edge
+        # trace's blocks out from under later rounds. ins/dele are lazy
+        # filters over it.
+        tagged = []
+        if insert is not None:
+            tagged.append(
+                insert.select("src", "dst")
+                .distinct()
+                .withColumn(DIFF, F.lit(1).cast("long"))
+            )
+        if delete is not None:
+            tagged.append(
+                delete.select("src", "dst")
+                .distinct()
+                .withColumn(DIFF, F.lit(-1).cast("long"))
+            )
+        delta = None
+        if tagged:
+            delta = tagged[0]
+            for t in tagged[1:]:
+                delta = delta.unionByName(t)
+            delta = tracked_local_checkpoint(delta)
         ins = (
-            tracked_local_checkpoint(insert.select("src", "dst").distinct())
+            delta.filter(F.col(DIFF) > 0).select("src", "dst")
             if insert is not None
             else None
         )
         dele = (
-            tracked_local_checkpoint(delete.select("src", "dst").distinct())
+            delta.filter(F.col(DIFF) < 0).select("src", "dst")
             if delete is not None
             else None
         )
         self.edges.maybe_compact()
-        if ins is not None:
-            self.edges.append(
-                ins.select("src", "dst", F.lit(1).cast("long").alias(DIFF))
-            )
-        if dele is not None:
-            self.edges.append(
-                dele.select("src", "dst", F.lit(-1).cast("long").alias(DIFF))
-            )
+        if delta is not None:
+            self.edges.append(delta)
         # One consolidation of the post-change edge multiset serves every
         # relaxation round this batch (at warehouse scale this fold is
         # partition-wise and pruned; per-round re-consolidation was the
@@ -757,6 +805,7 @@ class IncrementalBFS:
         edges_new = self._ck(self._edges_pos())
 
         dist = old_dist
+        n_affected = 0
         if dele is not None:
             du = old_dist.withColumnRenamed("node", "src").withColumnRenamed(
                 "dist", "__du"
@@ -766,7 +815,7 @@ class IncrementalBFS:
             )
             # Seeds: heads of deleted SP-DAG edges (dele is small — two
             # broadcast probes into the old distance map, no shuffle of it).
-            seeds = self._ck(
+            seeds, n_front = self._ckn(
                 du.join(F.broadcast(dele), ["src"])
                 .join(dv, ["dst"])
                 .filter(F.col("__dv") == F.col("__du") + 1)
@@ -777,15 +826,16 @@ class IncrementalBFS:
             # expands only the frontier's out-edges (bucket-pruned in the
             # parquet mode) and keeps successors whose old dist is exactly
             # frontier dist + 1; the SP-DAG is never materialized whole.
+            # One counted-checkpoint job per round.
             parts = [seeds]
             frontier = seeds
             for _ in range(self.max_iters):
-                if frontier.limit(1).isEmpty():
+                if n_front == 0:
                     break
                 aff = parts[0]
                 for p in parts[1:]:
                     aff = aff.unionByName(p)
-                nxt = self._ck(
+                nxt, n_front = self._ckn(
                     edges_old.join(
                         F.broadcast(frontier.withColumnRenamed("node", "src")),
                         ["src"],
@@ -805,7 +855,7 @@ class IncrementalBFS:
             affected = parts[0].select("node")
             for p in parts[1:]:
                 affected = affected.unionByName(p.select("node"))
-            affected = self._ck(
+            affected, n_affected = self._ckn(
                 affected.filter(F.col("node") != self.root)
             )
             # Keep non-affected distances; re-derive the affected region by
@@ -813,59 +863,64 @@ class IncrementalBFS:
             # BOUNDARY — kept nodes with an edge into the affected set (one
             # map-side edge scan against the broadcast affected set; a
             # dst-keyed secondary trace would prune it, mirroring the
-            # reference's arrange-by-reverse-key).
-            kept = self._ck(
-                old_dist.join(affected, ["node"], "left_anti")
-            )
-            dist = kept
-            into_affected = (
-                edges_new
-                .join(
-                    F.broadcast(affected.withColumnRenamed("node", "dst")),
-                    ["dst"],
-                    "left_semi",
+            # reference's arrange-by-reverse-key). Skipped outright when the
+            # deleted edges touched no shortest path (n_affected == 0).
+            if n_affected:
+                kept = self._ck(
+                    old_dist.join(affected, ["node"], "left_anti")
                 )
-                .select(F.col("src").alias("node"))
-                .distinct()
-            )
-            boundary = self._ck(
-                kept.join(into_affected, ["node"], "left_semi")
-            )
-            for _ in range(self.max_iters):
-                if boundary.limit(1).isEmpty():
-                    break
-                cand = (
-                    edges_new.join(
-                        F.broadcast(boundary.withColumnRenamed("node", "src")),
-                        ["src"],
+                dist = kept
+                into_affected = (
+                    edges_new
+                    .join(
+                        F.broadcast(affected.withColumnRenamed("node", "dst")),
+                        ["dst"],
+                        "left_semi",
                     )
-                    .select(
-                        F.col("dst").alias("node"),
-                        (F.col("dist") + 1).alias("__nd"),
+                    .select(F.col("src").alias("node"))
+                    .distinct()
+                )
+                boundary, n_front = self._ckn(
+                    kept.join(into_affected, ["node"], "left_semi")
+                )
+                for _ in range(self.max_iters):
+                    if n_front == 0:
+                        break
+                    cand = (
+                        edges_new.join(
+                            F.broadcast(
+                                boundary.withColumnRenamed("node", "src")
+                            ),
+                            ["src"],
+                        )
+                        .select(
+                            F.col("dst").alias("node"),
+                            (F.col("dist") + 1).alias("__nd"),
+                        )
+                        .join(F.broadcast(affected), ["node"], "left_semi")
+                        .groupBy("node")
+                        .agg(F.min("__nd").alias("__nd"))
                     )
-                    .join(F.broadcast(affected), ["node"], "left_semi")
-                    .groupBy("node")
-                    .agg(F.min("__nd").alias("__nd"))
-                )
-                merged = cand.join(dist, ["node"], "left")
-                better = self._ck(
-                    merged.filter(
-                        F.col("dist").isNull() | (F.col("__nd") < F.col("dist"))
-                    ).select("node", F.col("__nd").alias("dist"))
-                )
-                dist = (
-                    dist.join(better.select("node"), ["node"], "left_anti")
-                    .unionByName(better)
-                )
-                boundary = better
-            dist = self._ck(dist)
+                    merged = cand.join(dist, ["node"], "left")
+                    better, n_front = self._ckn(
+                        merged.filter(
+                            F.col("dist").isNull()
+                            | (F.col("__nd") < F.col("dist"))
+                        ).select("node", F.col("__nd").alias("dist"))
+                    )
+                    dist = (
+                        dist.join(better.select("node"), ["node"], "left_anti")
+                        .unionByName(better)
+                    )
+                    boundary = better
+                dist = self._ck(dist)
 
         if ins is not None:
             # Decrease-only relaxation seeded by improving inserted edges.
             du = dist.withColumnRenamed("node", "src").withColumnRenamed(
                 "dist", "__du"
             )
-            seeds = (
+            seeds, n_seeds = self._ckn(
                 ins.join(du, ["src"])
                 .select(
                     F.col("dst").alias("node"), (F.col("__du") + 1).alias("__nd")
@@ -876,12 +931,16 @@ class IncrementalBFS:
                 .filter(F.col("dist").isNull() | (F.col("__nd") < F.col("dist")))
                 .select("node", F.col("__nd").alias("dist"))
             )
-            seeds = self._ck(seeds)
-            dist = self._ck(
-                dist.join(seeds.select("node"), ["node"], "left_anti")
-                .unionByName(seeds)
-            )
-            dist = self._relax_down(seeds, dist, edges_new)
+            if n_seeds:
+                # The seed rewrite stays a lazy anti-join over the seed
+                # checkpoint — _relax_down materializes the final map once.
+                dist = self._relax_down(
+                    seeds,
+                    n_seeds,
+                    dist.join(seeds.select("node"), ["node"], "left_anti")
+                    .unionByName(seeds),
+                    edges_new,
+                )
 
         self.dist = dist
         # Output deltas: full-outer diff of the old and new maps — Spark
@@ -1100,6 +1159,12 @@ class KCoreMaintainer:
         self._spent.append(out)
         return out
 
+    def _ckn(self, df: DataFrame) -> tuple[DataFrame, int]:
+        """_ck fused with the convergence probe (one job per peel round)."""
+        out, n = counted_local_checkpoint(df)
+        self._spent.append(out)
+        return out, n
+
     def _reap(self) -> None:
         for df in self._spent:
             if df is not self.core:
@@ -1165,12 +1230,13 @@ class KCoreMaintainer:
         cascades start at the deleted edges' endpoints, not the whole set);
         afterwards only nodes adjacent to a drop are re-checked.
 
-        TWO driver actions per round: the round's drop set is the only eager
-        checkpoint (its job folds the lazy frontier/degree evaluation) plus
-        one isEmpty on it; survivors and frontier stay lazy chains over the
-        per-round drop checkpoints, lineage-cut every few rounds. This is
-        what keeps a cascade on a latency-floor-bound micro-batch round at
-        ~2 jobs instead of ~5. ``bulk_first`` marks the initial fixpoint
+        ONE driver action per round: the round's drop set is a COUNTED lazy
+        checkpoint (its materializing count folds the lazy frontier/degree
+        evaluation AND answers the convergence probe in the same job);
+        survivors and frontier stay lazy chains over the per-round drop
+        checkpoints, lineage-cut every few rounds. This is what keeps a
+        cascade on a latency-floor-bound micro-batch round at ~1 job
+        instead of ~5. ``bulk_first`` marks the initial fixpoint
         (candidates = every node): round one is then one full degree
         aggregate instead of a broadcast of the whole node set."""
         cur = candidates
@@ -1184,12 +1250,12 @@ class KCoreMaintainer:
                 members = cur if fixed is None else cur.unionByName(fixed)
                 deg = self._degrees_within(frontier, members)
             first = False
-            drop = self._ck(
+            drop, n_drop = self._ckn(
                 frontier.join(
                     deg.filter(F.col("deg") >= self.k), ["node"], "left_anti"
                 )
             )
-            if drop.limit(1).isEmpty():
+            if n_drop == 0:
                 return self._ck(cur) if rounds else candidates
             rounds += 1
             cur = cur.join(drop, ["node"], "left_anti")
@@ -1213,29 +1279,52 @@ class KCoreMaintainer:
         membership update stream ``(node, diff)``. Valid until next call."""
         self._reap()
         old_core = self.core
+        # ONE tagged-delta checkpoint covers both sides; the symmetrized
+        # trace part and the per-side endpoint sets are lazy views over it
+        # (narrow maps over cached blocks — no further jobs).
+        tagged = []
+        if insert is not None:
+            tagged.append(
+                insert.select("src", "dst")
+                .distinct()
+                .withColumn(DIFF, F.lit(1).cast("long"))
+            )
+        if delete is not None:
+            tagged.append(
+                delete.select("src", "dst")
+                .distinct()
+                .withColumn(DIFF, F.lit(-1).cast("long"))
+            )
+        delta = None
+        if tagged:
+            delta = tagged[0]
+            for t in tagged[1:]:
+                delta = delta.unionByName(t)
+            delta = tracked_local_checkpoint(delta)
         ins = (
-            tracked_local_checkpoint(insert.select("src", "dst").distinct())
+            delta.filter(F.col(DIFF) > 0).select("src", "dst")
             if insert is not None
             else None
         )
         dele = (
-            tracked_local_checkpoint(delete.select("src", "dst").distinct())
+            delta.filter(F.col(DIFF) < 0).select("src", "dst")
             if delete is not None
             else None
         )
         self.edges.maybe_compact()
-        for d, w in ((ins, 1), (dele, -1)):
-            if d is not None:
-                sym = d.unionByName(
-                    d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if delta is not None:
+            sym_part = delta.unionByName(
+                delta.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    DIFF,
                 )
-                self.edges.append(
-                    tracked_local_checkpoint(
-                        sym.select(
-                            "src", "dst", F.lit(w).cast("long").alias(DIFF)
-                        )
-                    )
-                )
+            )
+            # Hand the delta checkpoint's release handle to the trace part:
+            # TraceView.compact frees parts via release_checkpoint, and the
+            # lazy sym view would otherwise leak the backing blocks.
+            sym_part._ckpt_rdds = list(getattr(delta, "_ckpt_rdds", ()))
+            self.edges.append(sym_part)
 
         core = old_core
         if dele is not None:
@@ -1253,9 +1342,9 @@ class KCoreMaintainer:
         if ins is not None:
             # GROW: candidate closure from inserted endpoints over non-core
             # nodes with total degree >= k, then peel with `core` fixed.
-            # Each closure round is one eager checkpoint (the next eligible
-            # ring) plus one isEmpty — the eligibility joins stay lazy
-            # inside that job.
+            # Each closure round is ONE counted-checkpoint job (the next
+            # eligible ring's materialization doubles as the convergence
+            # probe) — the eligibility joins stay lazy inside that job.
             def eligible(nodes: DataFrame) -> DataFrame:
                 cand = nodes.join(core, ["node"], "left_anti")
                 deg = self._degrees_within(cand, members=None)  # total degree
@@ -1263,21 +1352,21 @@ class KCoreMaintainer:
                     deg.filter(F.col("deg") >= self.k), ["node"], "left_semi"
                 )
 
-            seeds = self._ck(
+            seeds, n_seeds = self._ckn(
                 eligible(
                     ins.select(F.col("src").alias("node"))
                     .unionByName(ins.select(F.col("dst").alias("node")))
                     .distinct()
                 )
             )
-            if not seeds.limit(1).isEmpty():
+            if n_seeds:
                 cand_parts = [seeds]
                 frontier = seeds
                 for _ in range(self.max_iters):
                     acc = cand_parts[0]
                     for p in cand_parts[1:]:
                         acc = acc.unionByName(p)
-                    nxt = self._ck(
+                    nxt, n_nxt = self._ckn(
                         eligible(
                             self._support_from(
                                 frontier.select(F.col("node").alias("src"))
@@ -1286,7 +1375,7 @@ class KCoreMaintainer:
                             .distinct()
                         ).join(acc, ["node"], "left_anti")
                     )
-                    if nxt.limit(1).isEmpty():
+                    if n_nxt == 0:
                         break
                     cand_parts.append(nxt)
                     frontier = nxt
