@@ -242,6 +242,90 @@ def dd_reachability_maintained(spark, sf_dir):
 
 
 @query(
+    "dd_fixpoint_tc_maintained",
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT CAST(user_id % 60 AS BIGINT) AS src,
+                CAST(CAST(floor(value) AS BIGINT) % 60 AS BIGINT) AS dst
+         FROM events
+         WHERE user_id % 60 <> CAST(floor(value) AS BIGINT) % 60
+           AND ((user_id % 60) * 7 + (CAST(floor(value) AS BIGINT) % 60) * 11) % 6 = 0
+       ), tc(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT t.src, e.dst FROM tc t JOIN edges e ON e.src = t.dst
+       )
+       SELECT src, dst FROM tc""",
+)
+def dd_fixpoint_tc_maintained(spark, sf_dir):
+    """The GENERIC maintained fixpoint engine (streaming/fixpoint.py) on a
+    program the per-algorithm maintainers don't cover: binary transitive
+    closure path(x,y) := edge(x,y) | path(x,z), edge(z,y). The reference
+    maintains ANY iterate body under input changes for free
+    (src/operators/iterate.rs:49-127); MaintainedFixpoint delivers the same
+    contract for monotone semi-naive programs via delete-and-rederive.
+    Edges arrive in three epochs — epoch 1 prematurely carries a slice that
+    epoch 2 RETRACTS alongside its own insertions and epoch 3 restores — so
+    the final edge set equals the oracle's and the maintained closure must
+    equal the recursive-CTE TC. Per-batch update-stream exactness is pinned
+    by pytest (tests/test_fixpoint.py)."""
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+    from differential_dataflow_spark.streaming.fixpoint import MaintainedFixpoint
+
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("user_id") % 60).cast("long")
+    dst = (F.floor(F.col("value")).cast("long") % 60).cast("long")
+    # One scan+distinct over events; every epoch slice below reuses the
+    # materialized ~600-row edge set instead of rescanning the fact table.
+    edges = tracked_local_checkpoint(
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & ((F.col("src") * 7 + F.col("dst") * 11) % 6 == 0)
+        )
+        .distinct()
+    )
+    # Deterministic 3-way epoch split; epoch-2 slice x is retracted then
+    # restored, exercising the DRed path (Spark-side only: nets out, so the
+    # oracle sees just the union).
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
+    x = edges.filter(
+        (h == 2) & (F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
+    )
+    one = F.lit(1).cast("long").alias(DIFF)
+    neg = F.lit(-1).cast("long").alias(DIFF)
+    fx = MaintainedFixpoint(
+        spark,
+        fact_cols=["src", "dst"],
+        axioms=lambda inp: inp["edge"].select("src", "dst"),
+        step=lambda f, inp: f.withColumnRenamed("dst", "mid")
+        .join(
+            inp["edge"]
+            .withColumnRenamed("src", "mid")
+            .withColumnRenamed("dst", "to"),
+            ["mid"],
+        )
+        .select("src", F.col("to").alias("dst")),
+        inputs={"edge": edges.filter(h == 0).unionByName(x)},
+        input_keys={"edge": ["src"]},
+    )
+    fx.process_batch(
+        {
+            "edge": edges.filter(h == 1)
+            .select("src", "dst", one)
+            .unionByName(x.select("src", "dst", neg))
+        }
+    )
+    fx.process_batch({"edge": edges.filter(h == 2).select("src", "dst", one)})
+    out = tracked_local_checkpoint(fx.facts().select("src", "dst"))
+    fx.release()
+    release_checkpoint(edges)
+    return out
+
+
+@query(
     "dd_upsert_latest",
     """SELECT user_id, last_value FROM (
          SELECT user_id, value AS last_value,
@@ -1776,7 +1860,10 @@ def graph_kcore_maintained(spark, sf_dir):
     km = KCoreMaintainer(spark, bulk.unionByName(x), k=30, compact_every=8)
     km.process_batch(part_b, x)      # insert B, retract the early slice
     km.process_batch(part_c, None)   # C re-adds the slice
-    from differential_dataflow_spark.session import tracked_local_checkpoint
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
 
     out = tracked_local_checkpoint(km.core_edges())
     km.release()
@@ -1862,23 +1949,30 @@ def graph_bfs_maintained(spark, sf_dir):
     batch 3, so the final edge set equals the oracle's). Per-batch
     update-stream exactness is pinned in pytest; here the maintained final
     distance map must match the recursive-CTE BFS."""
+    from differential_dataflow_spark.session import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
     from differential_dataflow_spark.streaming.maintain import IncrementalBFS
 
     ev = _t(spark, sf_dir, "events")
-    edges = ev.select(
-        F.col("user_id").alias("src"),
-        (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
-    ).distinct()
+    # One scan+distinct over events; the epoch slices below reuse the
+    # materialized edge set instead of five separate fact-table scans.
+    edges = tracked_local_checkpoint(
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.floor(F.col("value")).cast("long") % 150).alias("dst"),
+        ).distinct()
+    )
     h = F.pmod(F.xxhash64("src", "dst"), F.lit(3))
     part_a, part_b, part_c = (edges.filter(h == i) for i in (0, 1, 2))
     x = part_c.filter(F.pmod(F.xxhash64("dst", "src"), F.lit(4)) == 0)
     ib = IncrementalBFS(spark, part_a.unionByName(x), root=0, compact_every=8)
     ib.process_batch(part_b, x)      # insert B, retract the early slice
     ib.process_batch(part_c, None)   # C re-adds the slice
-    from differential_dataflow_spark.session import tracked_local_checkpoint
-
     out = tracked_local_checkpoint(ib.distances().select("node", "dist"))
     ib.release()
+    release_checkpoint(edges)
     return out
 
 
