@@ -2190,6 +2190,76 @@ def window_session_count(spark, sf_dir):
 
 
 @query(
+    "cep_funnel",
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+       ), v AS (
+         SELECT user_id, tsu AS t1 FROM ev WHERE event_type = 'view'
+       ), s2 AS (
+         SELECT v.user_id, v.t1, min(c.tsu) AS t2
+         FROM v JOIN ev c
+           ON c.user_id = v.user_id AND c.event_type = 'click'
+          AND c.tsu > v.t1 AND c.tsu <= v.t1 + 86400000000
+         GROUP BY v.user_id, v.t1
+       ), s3 AS (
+         SELECT s2.user_id, s2.t1, s2.t2, min(p.tsu) AS t3
+         FROM s2 JOIN ev p
+           ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+          AND p.tsu > s2.t2 AND p.tsu <= s2.t2 + 86400000000
+         GROUP BY s2.user_id, s2.t1, s2.t2
+       )
+       SELECT user_id, t1, t2, t3 FROM s3""",
+)
+def cep_funnel(spark, sf_dir):
+    """CEP skip-till-next-match funnel (operators/cep.py): per view event,
+    the earliest click strictly after it within 24h, then the earliest
+    purchase strictly after that click within 24h; drops incomplete chains.
+    Step 2 binds in a single window pass (conditional min over a strict
+    range-following frame, no join); step 3 joins only surviving anchors
+    against pre-filtered purchase events."""
+    from differential_dataflow_spark.operators.cep import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    out = funnel(
+        ev,
+        key=["user_id"],
+        ts="ts",
+        steps=[t == "view", t == "click", t == "purchase"],
+        within_sec=86400,
+    )
+    return out.select("user_id", "t1", "t2", "t3")
+
+
+@query(
+    "cep_pattern_contiguous",
+    """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id, event_type,
+                lead(event_type, 1) OVER w AS n1,
+                lead(event_type, 2) OVER w AS n2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ) WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'""",
+)
+def cep_pattern_contiguous(spark, sf_dir):
+    """CEP strict-contiguity pattern (MATCH_RECOGNIZE PATTERN (A B C), no
+    skips): view -> click -> purchase on three CONSECUTIVE events of the
+    same user under the total order (ts, event_id) — one window pass over
+    lead-chained flags, whole-stage codegen."""
+    from differential_dataflow_spark.operators.cep import pattern_contiguous
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    out = pattern_contiguous(
+        ev,
+        key=["user_id"],
+        order=["ts", "event_id"],
+        steps=[t == "view", t == "click", t == "purchase"],
+    )
+    return out.select("user_id", "event_id")
+
+
+@query(
     "graph_mutual_reachability",
     """WITH RECURSIVE e AS (
          SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 150 AS dst

@@ -181,15 +181,12 @@ class TraceView:
         self.release()
         self.base = new_base
 
-    def _base_df(self, bucket_ids: Sequence[int] | None = None) -> DataFrame | None:
+    def _base_df(self) -> DataFrame | None:
         if self.base is None:
             return None
         if self.bucket_path is None:
             return self.base
-        b = self.base
-        if bucket_ids is not None:
-            b = b.filter(F.col(BUCKET).isin(list(bucket_ids)))
-        return b.drop(BUCKET)
+        return self.base.drop(BUCKET)
 
     def _union(self, dfs: list[DataFrame]) -> DataFrame | None:
         if not dfs:
@@ -205,21 +202,25 @@ class TraceView:
 
     def lookup_view(self, keys: DataFrame) -> DataFrame | None:
         """The sub-multiset that can contain the given keys: bucketed bases
-        prune to the touched partitions (one tiny driver action over the
-        already-materialized key set); parts are small and always included."""
+        prune to the touched partitions; parts are small and always included.
+        The bucket set is applied as a BROADCAST semi-join on the partition
+        column (dynamic partition pruning reaches the parquet scan), not a
+        collect-then-isin — saving one driver action per lookup in the
+        latency-floor batch-1 path."""
         if self.base is None or self.bucket_path is None:
             return self.view()
-        ids = [
-            r["__b"]
-            for r in keys.select(
+        key_buckets = (
+            keys.select(
                 F.pmod(F.xxhash64(*self.key), F.lit(self.n_buckets))
                 .cast("int")
-                .alias("__b")
+                .alias(BUCKET)
             )
             .distinct()
-            .collect()
-        ]
-        base = self._base_df(ids)
+        )
+        base = (
+            self.base.join(F.broadcast(key_buckets), [BUCKET], "left_semi")
+            .drop(BUCKET)
+        )
         return self._union([base] + self.parts)
 
     def release(self) -> None:

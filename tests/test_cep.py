@@ -1,0 +1,206 @@
+"""CEP sequence patterns (operators/cep.py) vs brute-force python oracles on
+randomized event streams — funnel (skip-till-next-match, strict-after,
+within-gap) and contiguous patterns, including timestamp ties."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from differential_dataflow_spark.operators.cep import funnel, pattern_contiguous
+
+TYPES = ["a", "b", "c", "d"]
+
+
+def _gen(seed: int, n_keys: int = 8, n_events: int = 400, tie_every: int = 7):
+    """Random (key, ts_us, type, event_id) stream with planted timestamp
+    ties (every ``tie_every``-th event reuses the previous timestamp)."""
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n_events):
+        k = rng.randrange(n_keys)
+        if rows and eid % tie_every == 0:
+            tsu = rows[-1][1]  # tie (possibly on a different key)
+        else:
+            tsu = rng.randrange(0, 1_000_000) * 1_000_000  # whole seconds
+        rows.append((k, tsu, rng.choice(TYPES), eid))
+    return rows
+
+
+def _funnel_oracle(rows, steps, within_us):
+    """Greedy earliest-next binding, strictly after, per anchor."""
+    by_key: dict = {}
+    for k, tsu, ty, _ in rows:
+        by_key.setdefault(k, []).append((tsu, ty))
+    out = []
+    for k, evs in by_key.items():
+        for t1, ty in evs:
+            if ty != steps[0]:
+                continue
+            bound = [t1]
+            ok = True
+            for s in steps[1:]:
+                cands = [
+                    t
+                    for t, ty2 in evs
+                    if ty2 == s and t > bound[-1] and t <= bound[-1] + within_us
+                ]
+                if not cands:
+                    ok = False
+                    break
+                bound.append(min(cands))
+            if ok:
+                out.append((k, *bound))
+    return sorted(out)
+
+
+def test_funnel_matches_oracle_with_ties(spark):
+    rows = _gen(11)
+    df = spark.createDataFrame(
+        [(k, tsu, ty, eid) for k, tsu, ty, eid in rows],
+        "user long, tsu long, etype string, event_id long",
+    ).select(
+        "user",
+        F.timestamp_micros(F.col("tsu")).alias("ts"),
+        "etype",
+        "event_id",
+    )
+    within = 200_000  # seconds
+    t = F.col("etype")
+    got = sorted(
+        tuple(r)
+        for r in funnel(
+            df,
+            key=["user"],
+            ts="ts",
+            steps=[t == "a", t == "b", t == "c"],
+            within_sec=within,
+        )
+        .select("user", "t1", "t2", "t3")
+        .collect()
+    )
+    want = _funnel_oracle(rows, ["a", "b", "c"], within * 1_000_000)
+    # Spark's step-3 groupBy collapses duplicate (key, t1) anchors (ties on
+    # the anchor timestamp); the oracle enumerates them — dedupe both.
+    assert sorted(set(got)) == sorted(set(want))
+
+
+def test_funnel_two_step_window_only_path(spark):
+    rows = _gen(23, n_keys=5, n_events=200)
+    df = spark.createDataFrame(
+        rows, "user long, tsu long, etype string, event_id long"
+    ).select(
+        "user", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype"
+    )
+    within = 150_000
+    t = F.col("etype")
+    got = sorted(
+        set(
+            tuple(r)
+            for r in funnel(
+                df, ["user"], "ts", [t == "a", t == "d"], within_sec=within
+            )
+            .select("user", "t1", "t2")
+            .collect()
+        )
+    )
+    want = sorted(set(_funnel_oracle(rows, ["a", "d"], within * 1_000_000)))
+    assert got == want
+
+
+def test_pattern_contiguous_matches_oracle(spark):
+    rows = _gen(37, n_keys=6, n_events=300, tie_every=10**9)  # no ties:
+    # adjacency under (ts, event_id) is then unambiguous for the oracle too
+    df = spark.createDataFrame(
+        rows, "user long, tsu long, etype string, event_id long"
+    ).select(
+        "user",
+        F.timestamp_micros(F.col("tsu")).alias("ts"),
+        "etype",
+        "event_id",
+    )
+    t = F.col("etype")
+    got = sorted(
+        tuple(r)
+        for r in pattern_contiguous(
+            df, ["user"], ["ts", "event_id"], [t == "a", t == "b"]
+        )
+        .select("user", "event_id")
+        .collect()
+    )
+    by_key: dict = {}
+    for k, tsu, ty, eid in rows:
+        by_key.setdefault(k, []).append((tsu, eid, ty))
+    want = []
+    for k, evs in by_key.items():
+        evs.sort()
+        for (t0, e0, ty0), (t1, e1, ty1) in zip(evs, evs[1:]):
+            if ty0 == "a" and ty1 == "b":
+                want.append((k, e0))
+    assert got == sorted(want)
+
+
+def test_funnel_maintainer_parity_with_batch(spark):
+    """Accumulated FunnelMaintainer matches across ts-ordered micro-batches
+    == the batch funnel of the concatenated stream; pending state stays
+    bounded by the funnel window."""
+    from differential_dataflow_spark.operators.cep import FunnelMaintainer
+
+    rng = random.Random(51)
+    rows = []
+    for eid in range(600):
+        # Strictly increasing timestamps (watermark-ordered arrival).
+        tsu = (eid + 1) * 60_000_000 + rng.randrange(0, 50) * 1_000_000
+        rows.append((rng.randrange(6), tsu, rng.choice(TYPES), eid))
+    rows.sort(key=lambda r: r[1])
+    within = 600  # seconds: ~10 events per key-window on average
+
+    def mk(batch_rows):
+        return spark.createDataFrame(
+            batch_rows, "user long, tsu long, etype string, event_id long"
+        ).select(
+            "user", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype"
+        )
+
+    t = F.col("etype")
+    steps = [t == "a", t == "b", t == "c"]
+    fm = FunnelMaintainer(
+        spark, key=["user"], ts="ts", steps=steps, within_sec=within
+    )
+    got = set()
+    cut1, cut2, cut3 = 150, 300, 450
+    for lo, hi in [(0, cut1), (cut1, cut2), (cut2, cut3), (cut3, 600)]:
+        out = fm.process_batch(mk(rows[lo:hi]))
+        got |= {tuple(r) for r in out.collect()}
+    n_pending = fm.pending.count()
+    fm.release()
+
+    want = {
+        tuple(r)
+        for r in funnel(mk(rows), ["user"], "ts", steps, within_sec=within)
+        .select("user", "t1", "t2", "t3")
+        .collect()
+    }
+    assert got == want
+    # Expiry keeps state bounded: only chains whose window is still open at
+    # the last seen timestamp survive.
+    assert n_pending <= 6 * 2 * 12  # keys x open stages x window/event-rate
+
+
+def test_funnel_maintainer_rejects_out_of_order(spark):
+    from differential_dataflow_spark.operators.cep import FunnelMaintainer
+
+    t = F.col("etype")
+    fm = FunnelMaintainer(
+        spark, ["user"], "ts", [t == "a", t == "b"], within_sec=60
+    )
+    df1 = spark.createDataFrame(
+        [(1, 1_000_000, "a")], "user long, tsu long, etype string"
+    ).select("user", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype")
+    fm.process_batch(df1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out-of-order"):
+        fm.process_batch(df1)
+    fm.release()
