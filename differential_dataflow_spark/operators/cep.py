@@ -183,15 +183,10 @@ class FunnelMaintainer:
         self.steps = list(steps)
         self.gap = int(within_sec * 1_000_000)
         # Pending chains: (*key, stage, t1..tn with nulls above stage).
+        # The schema is derived from the first batch (key columns keep
+        # their native types — string conv_ids included).
         self._tcols = [f"t{i}" for i in range(1, len(steps) + 1)]
-        schema = ", ".join(
-            [f"{k} long" for k in self.key]
-            + ["stage int"]
-            + [f"{c} long" for c in self._tcols]
-        )
-        self.pending = tracked_local_checkpoint(
-            spark.createDataFrame([], schema)
-        )
+        self.pending: DataFrame | None = None
         self._max_seen: int | None = None
         self._spent: list = []  # released at the NEXT batch: the returned
         # update stream is a view over this batch's checkpoints
@@ -219,6 +214,16 @@ class FunnelMaintainer:
             F.min("__ts").alias("lo"), F.max("__ts").alias("hi")
         ).collect()[0]
         lo, hi = row["lo"], row["hi"]
+        null_t = [F.lit(None).cast("long").alias(c) for c in self._tcols[1:]]
+        if self.pending is None:
+            self.pending = self._ckpt(
+                ev.filter(F.lit(False)).select(
+                    *self.key,
+                    F.lit(1).alias("stage"),
+                    F.col("__ts").alias("t1"),
+                    *null_t,
+                )
+            )
         if lo is None:
             self._release(ev)
             return self.pending.filter(F.lit(False)).select(
@@ -233,7 +238,6 @@ class FunnelMaintainer:
 
         n = len(self.steps)
         # New anchors from this batch enter at stage 1...
-        null_t = [F.lit(None).cast("long").alias(c) for c in self._tcols[1:]]
         new_anchors = ev.filter(F.col("__m0")).select(
             *self.key,
             F.lit(1).alias("stage"),
@@ -301,6 +305,6 @@ class FunnelMaintainer:
         return done
 
     def release(self) -> None:
-        for df in self._spent + [self.pending]:
+        for df in self._spent + ([self.pending] if self.pending is not None else []):
             self._release(df)
         self._spent = []

@@ -28,13 +28,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores`` controls ``local[N]``; defaults to $SPARK_GRAFT_CPUS or 32.
     ``shuffle_partitions`` defaults to ``cores`` — on a real cluster this
     would be ~2-3x total executor cores; AQE coalesces down at runtime.
-    """
+    ``master`` overrides the master URL entirely (e.g.
+    ``local-cluster[4,8,12288]`` for real multi-JVM executors with a real
+    exchange; ``cores`` should then be the TOTAL core count for
+    parallelism/shuffle sizing). local-cluster needs SPARK_HOME — set to
+    the pyspark package dir if absent."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -50,8 +55,14 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    if master is not None and master.startswith("local-cluster"):
+        import pyspark as _pyspark
+
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(os.path.abspath(_pyspark.__file__))
+        )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -70,6 +81,10 @@ def get_spark(
     # when available (a real cluster would have NVMe-local shuffle dirs).
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    if master is not None:
+        # Executors are separate JVMs: they do not inherit the driver's
+        # environment, so ship the package path explicitly.
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -7,14 +7,17 @@ state → per-key state store via applyInPandasWithState Arrow kernels;
 exactly-once capture protocol (src/capture.rs) → idempotent epoch-keyed
 foreachBatch commits."""
 
+from differential_dataflow_spark.streaming.fixpoint import MaintainedFixpoint
 from differential_dataflow_spark.streaming.join import DeltaJoin, stream_stream_join
 from differential_dataflow_spark.streaming.maintain import (
     CountMaintainer,
     IncrementalBFS,
     IncrementalReachability,
+    KCoreMaintainer,
     TraceView,
 )
 from differential_dataflow_spark.streaming.delta_query import (
+    DeltaQuery,
     DeltaTriangles,
     half_join,
 )
@@ -24,11 +27,14 @@ from differential_dataflow_spark.streaming.source import EpochFeeder
 __all__ = [
     "CountMaintainer",
     "DeltaJoin",
+    "DeltaQuery",
     "DeltaTriangles",
     "EpochFeeder",
     "ExactlyOnceSink",
     "IncrementalBFS",
     "IncrementalReachability",
+    "KCoreMaintainer",
+    "MaintainedFixpoint",
     "TraceView",
     "half_join",
     "stream_stream_join",

@@ -204,3 +204,25 @@ def test_funnel_maintainer_rejects_out_of_order(spark):
     with _pytest.raises(ValueError, match="out-of-order"):
         fm.process_batch(df1)
     fm.release()
+
+
+def test_funnel_maintainer_string_keys(spark):
+    """conv_id-shaped string keys: the pending-state schema derives from the
+    batch, so native key types pass through."""
+    from differential_dataflow_spark.operators.cep import FunnelMaintainer
+
+    t = F.col("etype")
+    fm = FunnelMaintainer(
+        spark, ["conv"], "ts", [t == "a", t == "b"], within_sec=100
+    )
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "conv string, tsu long, etype string"
+        ).select("conv", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype")
+    out1 = fm.process_batch(mk([("c1", 1_000_000, "a"), ("c2", 2_000_000, "a")]))
+    assert out1.count() == 0
+    out2 = fm.process_batch(mk([("c1", 50_000_000, "b"), ("c2", 200_000_000, "b")]))
+    got = {tuple(r) for r in out2.collect()}
+    # c1 completes (49s < 100s); c2's window expired (198s > 100s).
+    assert got == {("c1", 1_000_000, 50_000_000)}
+    fm.release()
