@@ -308,3 +308,169 @@ class FunnelMaintainer:
         for df in self._spent + ([self.pending] if self.pending is not None else []):
             self._release(df)
         self._spent = []
+
+
+def absence(
+    df: DataFrame,
+    key: Sequence[str],
+    ts: str,
+    anchor: Column,
+    expected: Column,
+    within_sec: int | float,
+) -> DataFrame:
+    """Absence / timeout pattern — the canonical transcript alert ("a tool
+    call with NO tool result within T"): one output row ``(*key, t1)`` in
+    epoch microseconds per ``anchor`` event with no ``expected`` event
+    strictly after it within ``within_sec``. One window pass (the same
+    strict range-following conditional min as ``funnel`` step 2), no join.
+
+    Note the boundary contract: an anchor in the last ``within_sec`` of the
+    stream is reported absent if nothing qualifying has arrived YET — batch
+    semantics are "as of the end of the input". The streaming counterpart
+    (:class:`AbsenceMaintainer`) instead holds such anchors pending until
+    the watermark passes their deadline, which is the alerting behavior a
+    live pipeline wants."""
+    key = list(key)
+    gap = F.lit(int(within_sec * 1_000_000))
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    ev = df.select(
+        *key,
+        ts_us.alias("__ts"),
+        anchor.cast("boolean").alias("__a"),
+        expected.cast("boolean").alias("__e"),
+    )
+    with_next = ev.withColumn(
+        "__nxt",
+        F.min(F.when(F.col("__e"), F.col("__ts"))).over(_strictly_after(key)),
+    )
+    return (
+        with_next.filter(F.col("__a"))
+        .filter(
+            F.col("__nxt").isNull() | (F.col("__nxt") > F.col("__ts") + gap)
+        )
+        .select(*key, F.col("__ts").alias("t1"))
+    )
+
+
+class AbsenceMaintainer:
+    """STREAMING absence detection: across ts-ordered micro-batches, emit
+    ``(*key, t1)`` for each anchor whose expected follow-up did NOT arrive
+    within ``within_sec`` — emitted exactly when the stream first passes the
+    anchor's deadline (the watermark-timer semantics of a live alerting
+    pipeline). State is the open-deadline anchor set, bounded by the window
+    x anchor rate. Matches the batch ``absence`` of the concatenated stream
+    once the stream has passed every anchor's deadline (pytest-pinned)."""
+
+    def __init__(
+        self,
+        spark,
+        key: Sequence[str],
+        ts: str,
+        anchor: Column,
+        expected: Column,
+        within_sec: int | float,
+    ):
+        from differential_dataflow_spark.session import (
+            release_checkpoint,
+            tracked_local_checkpoint,
+        )
+
+        self._ckpt = tracked_local_checkpoint
+        self._release = release_checkpoint
+        self.spark = spark
+        self.key = list(key)
+        self.ts = ts
+        self.anchor = anchor
+        self.expected = expected
+        self.gap = int(within_sec * 1_000_000)
+        self.pending: DataFrame | None = None  # open anchors (*key, t1)
+        self._max_seen: int | None = None
+        self._spent: list = []
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        for df in self._spent:
+            self._release(df)
+        self._spent = []
+        ts_us = F.unix_micros(F.col(self.ts).cast("timestamp"))
+        ev = self._ckpt(
+            batch.select(
+                *self.key,
+                ts_us.alias("__ts"),
+                self.anchor.cast("boolean").alias("__a"),
+                self.expected.cast("boolean").alias("__e"),
+            )
+        )
+        if self.pending is None:
+            self.pending = self._ckpt(
+                ev.filter(F.lit(False)).select(
+                    *self.key, F.col("__ts").alias("t1")
+                )
+            )
+        row = ev.agg(
+            F.min("__ts").alias("lo"), F.max("__ts").alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:
+            self._release(ev)
+            return self.pending.filter(F.lit(False))
+        if self._max_seen is not None and lo <= self._max_seen:
+            raise ValueError(
+                f"out-of-order batch: event at {lo} <= watermark "
+                f"{self._max_seen}"
+            )
+
+        # Open anchors = carried-over pending + this batch's anchors; an
+        # expected event in THIS batch closes any open anchor in its window
+        # (earlier batches were already tried — arrival order guarantees
+        # the follow-up can only be here or later). One window-min per key
+        # over the batch answers every open anchor at once.
+        anchors = self.pending.unionByName(
+            ev.filter(F.col("__a")).select(*self.key, F.col("__ts").alias("t1"))
+        )
+        exp = (
+            ev.filter(F.col("__e"))
+            .groupBy(*self.key)
+            .agg(
+                F.collect_list("__ts").alias("__es")
+            )
+        )
+        # Per anchor: the earliest batch follow-up strictly after t1 (array
+        # filter + min — the per-key follow-up list is batch-sized).
+        closed_or_open = anchors.join(exp, self.key, "left").select(
+            *self.key,
+            "t1",
+            F.array_min(
+                F.filter(
+                    F.coalesce("__es", F.array()),
+                    lambda x: x > F.col("t1"),
+                )
+            ).alias("__nxt"),
+        )
+        survives = closed_or_open.filter(
+            F.col("__nxt").isNull() | (F.col("__nxt") > F.col("t1") + F.lit(self.gap))
+        ).select(*self.key, "t1")
+        # Deadline passed -> ALERT; else stay pending.
+        alerts = self._ckpt(
+            survives.filter(F.lit(hi) > F.col("t1") + F.lit(self.gap))
+        )
+        still_open = survives.filter(
+            F.lit(hi) <= F.col("t1") + F.lit(self.gap)
+        )
+        self._spent += [self.pending, ev]
+        self.pending = self._ckpt(still_open)
+        self._spent.append(alerts)
+        self._max_seen = hi
+        return alerts
+
+    def flush(self) -> DataFrame:
+        """End-of-stream: report every still-open anchor (batch-semantics
+        tail, matching ``absence`` over the full input)."""
+        assert self.pending is not None, "no batches processed"
+        return self.pending
+
+    def release(self) -> None:
+        for df in self._spent + (
+            [self.pending] if self.pending is not None else []
+        ):
+            self._release(df)
+        self._spent = []

@@ -2232,6 +2232,43 @@ def cep_funnel(spark, sf_dir):
 
 
 @query(
+    "cep_absence",
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+       ), a AS (
+         SELECT user_id, tsu AS t1 FROM ev WHERE event_type = 'view'
+       ), nxt AS (
+         SELECT a.user_id, a.t1, min(e.tsu) AS n
+         FROM a LEFT JOIN ev e
+           ON e.user_id = a.user_id AND e.event_type = 'purchase'
+          AND e.tsu > a.t1
+         GROUP BY a.user_id, a.t1
+       )
+       SELECT user_id, t1 FROM nxt
+       WHERE n IS NULL OR n > t1 + 86400000000""",
+)
+def cep_absence(spark, sf_dir):
+    """CEP absence/timeout pattern (operators/cep.py::absence): view events
+    with NO purchase strictly after them within 24h — one conditional
+    window-min pass, no join. The streaming counterpart (AbsenceMaintainer,
+    watermark-timer alerts) is pinned in pytest against this batch
+    semantics."""
+    from differential_dataflow_spark.operators.cep import absence
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    out = absence(
+        ev,
+        key=["user_id"],
+        ts="ts",
+        anchor=t == "view",
+        expected=t == "purchase",
+        within_sec=86400,
+    )
+    return out.select("user_id", "t1")
+
+
+@query(
     "cep_pattern_contiguous",
     """SELECT user_id, event_id FROM (
          SELECT user_id, event_id, event_type,

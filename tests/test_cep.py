@@ -226,3 +226,104 @@ def test_funnel_maintainer_string_keys(spark):
     # c1 completes (49s < 100s); c2's window expired (198s > 100s).
     assert got == {("c1", 1_000_000, 50_000_000)}
     fm.release()
+
+
+def test_funnel_on_transcripts_stream(spark):
+    """The north-rule payload: CEP over the deterministic transcript table
+    (conv_id string, turn_idx, role, text, tool, ts) — detect the
+    user -> assistant -> tool sequence per conversation within a window,
+    streaming maintainer vs batch funnel on the same stream."""
+    from differential_dataflow_spark.operators.cep import FunnelMaintainer, funnel
+    from differential_dataflow_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    tr = generate_transcripts(spark, n_convs=300, seed=3).select(
+        "conv_id", "role", "ts"
+    )
+    r = F.col("role")
+    steps = [r == "user", r == "assistant", r == "tool"]
+    within = 3600
+    want = {
+        tuple(x)
+        for x in funnel(tr, ["conv_id"], "ts", steps, within_sec=within)
+        .select("conv_id", "t1", "t2", "t3")
+        .collect()
+    }
+    assert want, "generator should produce at least one funnel match"
+
+    # Split into three ts-ordered batches on global time terciles.
+    lo, hi = tr.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    fm = FunnelMaintainer(spark, ["conv_id"], "ts", steps, within_sec=within)
+    got = set()
+    u = F.unix_micros("ts")
+    for cond in [u <= c1, (u > c1) & (u <= c2), u > c2]:
+        got |= {
+            tuple(x) for x in fm.process_batch(tr.filter(cond)).collect()
+        }
+    fm.release()
+    assert got == want
+
+
+def test_absence_batch_and_streaming_parity(spark):
+    """Batch absence vs python oracle, and AbsenceMaintainer alerts+flush ==
+    batch absence across ts-ordered micro-batches."""
+    from differential_dataflow_spark.operators.cep import (
+        AbsenceMaintainer,
+        absence,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for eid in range(500):
+        tsu = (eid + 1) * 60_000_000 + rng.randrange(0, 50) * 1_000_000
+        rows.append((rng.randrange(6), tsu, rng.choice(TYPES), eid))
+    within = 480  # seconds
+
+    def mk(batch_rows):
+        return spark.createDataFrame(
+            batch_rows, "user long, tsu long, etype string, event_id long"
+        ).select(
+            "user", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype"
+        )
+
+    t = F.col("etype")
+    got_batch = {
+        tuple(r)
+        for r in absence(
+            mk(rows), ["user"], "ts", t == "a", t == "b", within_sec=within
+        ).collect()
+    }
+    # Python oracle.
+    by_key: dict = {}
+    for k, tsu, ty, _ in rows:
+        by_key.setdefault(k, []).append((tsu, ty))
+    want = set()
+    for k, evs in by_key.items():
+        for t1, ty in evs:
+            if ty != "a":
+                continue
+            nxt = [t for t, ty2 in evs if ty2 == "b" and t > t1]
+            if not nxt or min(nxt) > t1 + within * 1_000_000:
+                want.add((k, t1))
+    assert got_batch == want
+
+    am = AbsenceMaintainer(
+        spark, ["user"], "ts", t == "a", t == "b", within_sec=within
+    )
+    got = set()
+    for lo, hi in [(0, 125), (125, 250), (250, 375), (375, 500)]:
+        got |= {tuple(r) for r in am.process_batch(mk(rows[lo:hi])).collect()}
+    # Streaming alerts fire only once the stream passes the deadline; the
+    # tail (still-open anchors) is the flush.
+    tail = {tuple(r) for r in am.flush().collect()}
+    am.release()
+    assert got | tail == want
+    # Alerts are exactly the batch-absent anchors whose deadline HAS passed.
+    last_ts = max(r[1] for r in rows)
+    assert got == {
+        (k, t1) for (k, t1) in want if last_ts > t1 + within * 1_000_000
+    }
