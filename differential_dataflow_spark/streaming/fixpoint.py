@@ -90,6 +90,7 @@ class MaintainedFixpoint:
         input_keys: Mapping[str, Sequence[str]] | None = None,
         rederive_seeds: Callable[[DataFrame, DataFrame, Inputs], DataFrame]
         | None = None,
+        uses_derived: bool = False,
         compact_every: int = 16,
         state_dir: str | None = None,
         n_buckets: int = 64,
@@ -99,12 +100,24 @@ class MaintainedFixpoint:
         ``input_keys``: per-input key columns (joins co-locate on them; the
         input's declared key when bucketed). ``rederive_seeds(suspect, kept,
         new_inputs)``: optional program-specific boundary (defaults to
-        ``step(kept, new_inputs)``)."""
+        ``step(kept, new_inputs)``).
+
+        ``uses_derived=True`` lifts the LINEAR restriction: the step may
+        reference the derived relation itself through the reserved input
+        name ``"$derived"`` (delta-rule discipline — e.g. transitive
+        closure by squaring: ``step = frontier ⋈ $derived ∪ $derived ⋈
+        frontier``). Contract: every occurrence of the recursive relation
+        must appear in FRONTIER position in at least one union term (the
+        standard non-linear semi-naive delta-rule requirement); the engine
+        binds ``$derived`` to the semantically current fact set — all facts
+        so far during expansion, the pre-batch set during the overdelete
+        closure, and kept-plus-rederived-so-far during rederivation."""
         self.spark = spark
         self.fact_cols = list(fact_cols)
         self.axioms = axioms
         self.step = step
         self.rederive_seeds = rederive_seeds
+        self.uses_derived = uses_derived
         self.max_iters = max_iters
         self._spent: list[DataFrame] = []
 
@@ -203,6 +216,14 @@ class MaintainedFixpoint:
             self.derived.view(), self.fact_cols, self._derived_neg
         )
 
+    def _bind(self, supports: Inputs, derived: DataFrame) -> Inputs:
+        """Attach the reserved ``$derived`` relation for non-linear steps."""
+        if not self.uses_derived:
+            return supports
+        out = dict(supports)
+        out["$derived"] = derived
+        return out
+
     # -- semi-naive loops -------------------------------------------------- #
 
     def _expand(
@@ -215,8 +236,11 @@ class MaintainedFixpoint:
         for _ in range(self.max_iters):
             if n_frontier == 0:
                 return parts
+            # Non-linear steps see ALL facts so far (semi-naive "full"
+            # relation) — rebound every round as parts accumulate.
+            sup = self._bind(supports, self._derived_support())
             new, n_frontier = self._ckn(
-                self.step(frontier, supports)
+                self.step(frontier, sup)
                 .select(*self.fact_cols)
                 .distinct()
                 .join(self._derived_support(), self.fact_cols, "left_anti")
@@ -233,11 +257,16 @@ class MaintainedFixpoint:
         supports: Inputs,
         bound: DataFrame,
         broadcast_bound: bool = False,
+        dyn_derived: DataFrame | None = None,
     ) -> tuple[DataFrame, int]:
         """Close ``seeds`` under ``step`` restricted to ``bound``; returns the
         checkpointed closure and its row count. ``broadcast_bound`` only when
         the bound is known small (the suspect set) — the overdelete closure's
-        bound is the WHOLE derived set and must stream, not broadcast."""
+        bound is the WHOLE derived set and must stream, not broadcast.
+        ``dyn_derived`` (non-linear rederivation only): bind ``$derived`` to
+        ``dyn_derived ∪ closure-so-far``, rebound each round — rederiving
+        through a still-suspect fact would keep facts alive via dead
+        derivations, so only kept-plus-already-rederived facts qualify."""
         bnd = F.broadcast(bound) if broadcast_bound else bound
         parts = [seeds]
         frontier, n_front = seeds, n_seeds
@@ -247,8 +276,13 @@ class MaintainedFixpoint:
             acc = parts[0]
             for p in parts[1:]:
                 acc = acc.unionByName(p)
+            sup = (
+                self._bind(supports, dyn_derived.unionByName(acc))
+                if dyn_derived is not None
+                else supports
+            )
             nxt, n_front = self._ckn(
-                self.step(frontier, supports)
+                self.step(frontier, sup)
                 .select(*self.fact_cols)
                 .distinct()
                 .join(bnd, self.fact_cols, "left_semi")
@@ -327,7 +361,7 @@ class MaintainedFixpoint:
                 ax_old.join(ax_new, self.fact_cols, "left_anti")
             ]
             for name, del_df in dels.items():
-                restricted = dict(old_supports)
+                restricted = dict(self._bind(old_supports, derived_old))
                 restricted[name] = F.broadcast(del_df)
                 seed_parts.append(
                     self.step(derived_old, restricted).select(*self.fact_cols)
@@ -344,7 +378,10 @@ class MaintainedFixpoint:
         removed, n_removed = seeds, 0
         if n_seeds:
             suspect, n_suspect = self._closure_within(
-                seeds, n_seeds, old_supports, bound=derived_old
+                seeds,
+                n_seeds,
+                self._bind(old_supports, derived_old),
+                bound=derived_old,
             )
             # Phase 2: REDERIVE within the suspect region from the kept
             # boundary over the POST-batch inputs.
@@ -357,7 +394,7 @@ class MaintainedFixpoint:
             r0, n_r0 = self._ckn(
                 ax_new.join(F.broadcast(suspect), self.fact_cols, "left_semi")
                 .unionByName(
-                    boundary_fn(kept, suspect, new_supports)
+                    boundary_fn(kept, suspect, self._bind(new_supports, kept))
                     .select(*self.fact_cols)
                     .join(
                         F.broadcast(suspect), self.fact_cols, "left_semi"
@@ -366,7 +403,12 @@ class MaintainedFixpoint:
                 .distinct()
             )
             rederived, _ = self._closure_within(
-                r0, n_r0, new_supports, bound=suspect, broadcast_bound=True
+                r0,
+                n_r0,
+                new_supports,
+                bound=suspect,
+                broadcast_bound=True,
+                dyn_derived=kept if self.uses_derived else None,
             )
             removed, n_removed = self._ckn(
                 suspect.join(rederived, self.fact_cols, "left_anti")
@@ -383,7 +425,7 @@ class MaintainedFixpoint:
             derived_now = self._derived_support()
             ins_parts = [ax_new.join(ax_old, self.fact_cols, "left_anti")]
             for name, ins_df in inss.items():
-                restricted = dict(new_supports)
+                restricted = dict(self._bind(new_supports, derived_now))
                 restricted[name] = F.broadcast(ins_df)
                 ins_parts.append(
                     self.step(derived_now, restricted).select(*self.fact_cols)

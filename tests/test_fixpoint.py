@@ -178,3 +178,62 @@ def test_maintained_fixpoint_bucketed_state(spark, tmp_path):
     assert deltas == {(2, -1), (3, -1), (4, 1), (5, 1)}
     assert {r.node for r in mf.facts().collect()} == {0, 1, 4, 5}
     mf.release()
+
+
+def test_maintained_tc_nonlinear_squaring(spark):
+    """NON-LINEAR program (uses_derived=True): transitive closure by
+    squaring — path(x,y) :- edge(x,y) | path(x,z), path(z,y). The recursive
+    relation appears in BOTH premise positions, so the step is the pair of
+    delta rules (frontier ⋈ $derived) ∪ ($derived ⋈ frontier). Maintained
+    under mixed insertions/deletions with exact update streams."""
+    rng = random.Random(19)
+    nodes = list(range(16))
+    all_edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)}
+    all_edges = {(s, d) for s, d in all_edges if s != d}
+    edges = set(list(sorted(all_edges))[:25])
+
+    def step_sq(f, inp):
+        d = inp["$derived"]
+        a = (
+            f.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(d.select(F.col("src").alias("mid"), F.col("dst")), ["mid"])
+            .select("src", "dst")
+        )
+        b = (
+            d.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(f.select(F.col("src").alias("mid"), F.col("dst")), ["mid"])
+            .select("src", "dst")
+        )
+        return a.unionByName(b)
+
+    mf = MaintainedFixpoint(
+        spark,
+        fact_cols=["src", "dst"],
+        axioms=lambda inp: inp["edges"].select("src", "dst"),
+        step=step_sq,
+        inputs={
+            "edges": spark.createDataFrame(sorted(edges), "src long, dst long")
+        },
+        input_keys={"edges": ["src"]},
+        uses_derived=True,
+        compact_every=2,
+    )
+    assert {(r.src, r.dst) for r in mf.facts().collect()} == _tc_oracle(edges)
+
+    pool = sorted(all_edges)
+    for i in range(4):
+        rng.shuffle(pool)
+        ins = {e for e in pool[:5] if e not in edges}
+        dele = {e for e in pool[5:10] if e in edges}
+        if i == 1:
+            ins = set()  # delete-only: the pure-DRed path
+        before = _tc_oracle(edges)
+        edges, deltas = _apply(
+            mf, spark, edges, ins, dele, "src long, dst long, diff long"
+        )
+        after = _tc_oracle(edges)
+        assert {(r.src, r.dst) for r in mf.facts().collect()} == after
+        want = {t: 1 for t in after - before}
+        want.update({t: -1 for t in before - after})
+        assert deltas == want, f"batch {i}"
+    mf.release()
