@@ -92,6 +92,63 @@ def get_spark(
     return spark
 
 
+def micro_shuffle_partitions(n_rows: int | None = None) -> int:
+    """Shuffle-partition count for a MICRO-BATCH maintenance round, derived
+    from the DELTA size (guide: derive partitioning from input size, never a
+    constant tuned to the local core count). Micro-rounds shuffle O(|Δ|)
+    rows — a handful of partitions covers deltas up to ~10⁶ rows; larger
+    deltas scale up linearly toward the session default. Production
+    deployments with bigger steady-state deltas raise the floor via
+    $SPARK_GRAFT_MICRO_PARTITIONS."""
+    floor = int(os.environ.get("SPARK_GRAFT_MICRO_PARTITIONS", "4"))
+    if n_rows is None:
+        return floor
+    return max(floor, min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 2, (n_rows // 262_144) + 1))
+
+
+class micro_batch_scope:
+    """Scoped session config for delta-bounded micro-batch rounds.
+
+    Inside the scope, shuffle partitions are derived from the delta/state
+    size via :func:`micro_shuffle_partitions` instead of the session-level
+    count (which is sized for bulk queries): micro-rounds shuffle O(|Δ|)
+    rows, so launching a bulk-sized task wave per round is pure scheduling
+    latency. AQE stays ON — its runtime broadcast-conversion is what keeps
+    the unknown-stat (checkpointed) trace unions off the exchange; measured
+    with AQE off, join-bearing rounds regress 2-4x. Restores the prior value
+    on exit. Re-entrant: nested scopes only save/restore at the outermost
+    level.
+    """
+
+    def __init__(self, spark: SparkSession, n_rows: int | None = None):
+        self.spark = spark
+        self.parts = micro_shuffle_partitions(n_rows)
+        self._saved: str | None = None
+        self._outermost = False
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self._outermost = not getattr(self.spark, "_dd_micro_scope", False)
+        if self._outermost:
+            self._saved = conf.get("spark.sql.shuffle.partitions")
+            self.spark._dd_micro_scope = True
+        conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def retune(self, n_rows: int | None) -> None:
+        """Re-derive the shuffle-partition count mid-scope (per round)."""
+        p = micro_shuffle_partitions(n_rows)
+        if p != self.parts:
+            self.parts = p
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(p))
+
+    def __exit__(self, *exc):
+        if self._outermost:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+            self.spark._dd_micro_scope = False
+        return False
+
+
 def _persistent_entries(spark: SparkSession) -> list[tuple[int, object]]:
     """(rdd_id, java_rdd) pairs currently pinned in the block manager."""
     jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
@@ -151,16 +208,28 @@ def counted_local_checkpoint(df) -> tuple:
     with _ckpt_lock:
         before = {rid for rid, _ in _persistent_entries(spark)}
         out = df.localCheckpoint(eager=False)
-        n = out.count()  # materializes AND persists the checkpoint blocks
         try:
             analyzed = out._jdf.queryExecution().analyzed()
             out._ckpt_rdds = [analyzed.rdd()]
+            resolved = True
         except Exception:
+            resolved = False
+        if not resolved:
+            # Fallback map-diff must bracket the materialization (the RDD is
+            # registered at persist time, but keep the window lock-covered so
+            # no concurrent checkpoint is captured).
+            n = out.count()
             out._ckpt_rdds = [
                 jrdd
                 for rid, jrdd in _persistent_entries(spark)
                 if rid not in before
             ]
+            return out, n
+    # Handle already resolved from the plan: run the materializing count (a
+    # full Spark job) OUTSIDE the lock so concurrent maintenance loops only
+    # serialize on the cheap handle-resolution window, not on each other's
+    # jobs.
+    n = out.count()  # materializes AND persists the checkpoint blocks
     return out, n
 
 

@@ -42,7 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF
-from differential_dataflow_spark.session import tracked_local_checkpoint
+from differential_dataflow_spark.session import (
+    micro_batch_scope,
+    tracked_local_checkpoint,
+)
 from differential_dataflow_spark.streaming.maintain import TraceView
 
 
@@ -165,6 +168,10 @@ class DeltaQuery:
     ) -> DataFrame:
         """Apply one epoch of per-relation updates ``(cols..., diff)``;
         returns the consolidated output update stream ``(vars..., diff)``."""
+        with micro_batch_scope(self.spark):
+            return self._process_batch(deltas)
+
+    def _process_batch(self, deltas: Mapping[str, DataFrame]) -> DataFrame:
         for r in deltas:
             if r not in self.relations:
                 raise ValueError(f"delta for unknown relation {r!r}")
@@ -220,6 +227,11 @@ class DeltaQuery:
                     return empty
                 ext = self._as_atom(view, rel_j, vars_j)
                 on = sorted(bound & set(dict.fromkeys(vars_j)))
+                # Step 0 pins the consolidated Δ as the broadcast side; later
+                # steps are left to AQE, which sees the REAL sizes of the
+                # bindings chain vs the trace at runtime and broadcasts the
+                # smaller (measured: forcing the bindings side everywhere
+                # regressed 35% when the trace was the smaller relation).
                 bindings = half_join(
                     bindings, ext, on=on, broadcast_bindings=(step == 0)
                 )

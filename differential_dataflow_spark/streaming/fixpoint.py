@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 from differential_dataflow_spark.collection import DIFF
 from differential_dataflow_spark.session import (
     counted_local_checkpoint,
+    micro_batch_scope,
     release_checkpoint,
     tracked_local_checkpoint,
 )
@@ -143,16 +144,20 @@ class MaintainedFixpoint:
         self._derived_neg = False
 
         supports = self._supports()
-        base, n = counted_local_checkpoint(
-            axioms(supports).select(*self.fact_cols).distinct()
+        n_state = max(
+            (tv.base_rows or 0 for tv in self.inputs.values()), default=None
         )
-        self._spent.append(base)  # init scratch; reaped at the first batch
-        self.derived.seed(
-            base.select(*self.fact_cols, F.lit(1).cast("long").alias(DIFF)),
-            key=self.fact_cols,
-        )
-        self._expand(base, n, supports)
-        self.derived.compact()  # fold the initial rounds into one base
+        with micro_batch_scope(spark, n_state):
+            base, n = counted_local_checkpoint(
+                axioms(supports).select(*self.fact_cols).distinct()
+            )
+            self._spent.append(base)  # init scratch; reaped at the first batch
+            self.derived.seed(
+                base.select(*self.fact_cols, F.lit(1).cast("long").alias(DIFF)),
+                key=self.fact_cols,
+            )
+            self._expand(base, n, supports)
+            self.derived.compact()  # fold the initial rounds into one base
 
     # -- bookkeeping ---------------------------------------------------- #
 
@@ -305,13 +310,22 @@ class MaintainedFixpoint:
         """Apply one batch of input updates (per input: payload columns +
         ``diff`` in {+1, −1}) and return the derived-fact update stream
         ``(fact_cols..., diff)``. Valid until the next call."""
+        with micro_batch_scope(self.spark):
+            return self._process_batch(updates)
+
+    def _process_batch(self, updates: Mapping[str, DataFrame]) -> DataFrame:
         self._reap()
         # Compact BEFORE capturing support views: TraceView views are valid
         # only until the next append/compact, and the old-support snapshots
-        # below must survive the whole batch.
-        self.derived.maybe_compact()
-        for tv in self.inputs.values():
-            tv.maybe_compact()
+        # below must survive the whole batch. A compaction folds the ±1
+        # pairs to net-positive rows, so the negative-support flags reset —
+        # without this every later view pays the positive-support aggregate
+        # forever after the first deletion.
+        if self.derived.maybe_compact():
+            self._derived_neg = False
+        for name, tv in self.inputs.items():
+            if tv.maybe_compact():
+                self._input_neg[name] = False
 
         old_supports = self._supports()
         derived_old = self._derived_support()
@@ -323,7 +337,13 @@ class MaintainedFixpoint:
         for name, upd in updates.items():
             tv = self.inputs[name]
             payload = [c for c in upd.columns if c != DIFF]
-            d = self._ck(upd.select(*payload, DIFF).distinct())
+            # LAZY checkpoint + the phase-deciding aggregate as its
+            # materializer: one Spark job per input delta instead of two
+            # (eager checkpoint, then a separate aggregate job).
+            d = tracked_local_checkpoint(
+                upd.select(*payload, DIFF).distinct(), eager=False
+            )
+            self._spent.append(d)
             # One cheap aggregate over the cached delta decides which phases
             # this batch pays for (insert-only batches skip DRed entirely).
             row = d.agg(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from differential_dataflow_spark.collection import DIFF
 from differential_dataflow_spark.session import (
     counted_local_checkpoint,
+    micro_batch_scope,
     release_checkpoint,
     tracked_local_checkpoint,
 )
@@ -76,6 +77,7 @@ class TraceView:
         self.n_buckets = n_buckets
         self.key: list[str] | None = None
         self.base: DataFrame | None = None
+        self.base_rows: int | None = None  # known row count of the seeded base
         self.parts: list[DataFrame] = []
         if bucket_path is not None:
             self._recover()
@@ -145,16 +147,23 @@ class TraceView:
             df = df.repartition(
                 self.spark.sparkContext.defaultParallelism, *key
             )
-        self.base = tracked_local_checkpoint(df)
+        # Counted checkpoint: same single job as the eager checkpoint, and
+        # the row count lets owners derive micro-round partition counts.
+        self.base, self.base_rows = counted_local_checkpoint(df)
 
     def append(self, delta: DataFrame) -> None:
         """Seal one small part. The caller passes a MATERIALIZED (checkpointed
         or local-relation) DataFrame; appends never trigger jobs here."""
         self.parts.append(delta)
 
-    def maybe_compact(self) -> None:
+    def maybe_compact(self) -> bool:
+        """Compact when due; returns True iff a compaction ran (callers use
+        this to reset their negative-support flags — after the fold every
+        surviving row is net-positive again)."""
         if len(self.parts) >= self.compact_every:
             self.compact()
+            return True
+        return False
 
     def compact(self) -> None:
         """Fold base + parts into a new consolidated base — one hash
@@ -295,8 +304,13 @@ class IncrementalReachability:
         self.reached.seed(
             base.select("node", F.lit(1).cast("long").alias(DIFF)), key=["node"]
         )
-        self._expand(base)
-        self.reached.compact()  # fold the initial rounds into one base
+        # Micro-round scope for the driver-floor-bound semi-naive loop:
+        # shuffle sizing derived from the edge-state row count (see
+        # session.micro_batch_scope — AQE's per-stage re-planning is pure
+        # latency on these delta-bounded rounds).
+        with micro_batch_scope(spark, self.edges.base_rows):
+            self._expand(base)
+            self.reached.compact()  # fold the initial rounds into one base
 
     def _reached_support(self) -> DataFrame:
         """Current reached node set. Monotone histories read the raw union;
@@ -361,6 +375,10 @@ class IncrementalReachability:
     def add_edges(self, delta: DataFrame) -> DataFrame:
         """Apply one batch of edge ADDITIONS (src, dst[, diff>0]); returns
         the newly reachable nodes as ``(node, diff=+1)`` update rows."""
+        with micro_batch_scope(self.spark):
+            return self._add_edges(delta)
+
+    def _add_edges(self, delta: DataFrame) -> DataFrame:
         if DIFF in delta.columns:
             if not delta.filter(F.col(DIFF) <= 0).isEmpty():
                 raise ValueError(
@@ -370,8 +388,10 @@ class IncrementalReachability:
             delta = delta.drop(DIFF)
         # Compact BEFORE computing this batch (the previous batch's returned
         # frame is out of its validity window by now — the TraceView cursor
-        # contract).
-        self.reached.maybe_compact()
+        # contract). Compaction folds retractions away, so the negative-
+        # support flags reset with it.
+        if self.reached.maybe_compact():
+            self._reached_neg = False
         d = tracked_local_checkpoint(delta.select("src", "dst").distinct())
         reached_nodes = self._reached_support()
         seed, n_seed = counted_local_checkpoint(
@@ -383,7 +403,8 @@ class IncrementalReachability:
             .join(reached_nodes, ["node"], "left_anti")
         )
         # Seal the new edges FIRST: later rounds must traverse them.
-        self.edges.maybe_compact()
+        if self.edges.maybe_compact():
+            self._edges_neg = False
         self.edges.append(d.select("src", "dst", F.lit(1).cast("long").alias(DIFF)))
         seed_part = seed.select("node", F.lit(1).cast("long").alias(DIFF))
         self.reached.append(seed_part)
@@ -411,6 +432,10 @@ class IncrementalReachability:
            edges; survivors keep their derivation, the rest emit ``-1``.
         3. INSERT — the monotone expansion for the insertion side.
         """
+        with micro_batch_scope(self.spark):
+            return self._process_batch(delta)
+
+    def _process_batch(self, delta: DataFrame) -> DataFrame:
         if DIFF not in delta.columns:
             delta = delta.withColumn(DIFF, F.lit(1).cast("long"))
         d = tracked_local_checkpoint(
@@ -424,8 +449,10 @@ class IncrementalReachability:
             release_checkpoint(d)
             return out
 
-        self.reached.maybe_compact()
-        self.edges.maybe_compact()
+        if self.reached.maybe_compact():
+            self._reached_neg = False
+        if self.edges.maybe_compact():
+            self._edges_neg = False
         old_reached = tracked_local_checkpoint(self._reached_support())
         spent: list[DataFrame] = [old_reached]
 
@@ -663,7 +690,10 @@ class IncrementalBFS:
         start = self._ck(
             spark.createDataFrame([(root, 0)], "node long, dist long")
         )
-        self.dist = self._relax_down(start, 1, None, self._ck(self._edges_pos()))
+        with micro_batch_scope(spark, self.edges.base_rows):
+            self.dist = self._relax_down(
+                start, 1, None, self._ck(self._edges_pos())
+            )
 
     # -- helpers ------------------------------------------------------- #
 
@@ -753,6 +783,12 @@ class IncrementalBFS:
     ) -> DataFrame:
         """Apply edge insertions/deletions (src, dst); returns the distance
         update stream (node, dist, diff). Valid until the next call."""
+        with micro_batch_scope(self.spark):
+            return self._process_batch(insert, delete)
+
+    def _process_batch(
+        self, insert: DataFrame | None, delete: DataFrame | None
+    ) -> DataFrame:
         self._reap()
         old_dist = self.dist
         # The pre-batch edge support is only consulted by the deletion
@@ -1027,6 +1063,10 @@ class CountMaintainer:
         """Apply one batch of ``(keys..., diff)`` updates; returns the output
         update stream ``(keys..., {alias}, diff)`` with the -old/+new pairs
         for every key whose count changed."""
+        with micro_batch_scope(self.spark):
+            return self._process_batch(delta)
+
+    def _process_batch(self, delta: DataFrame) -> DataFrame:
         self.trace.maybe_compact()
         d = tracked_local_checkpoint(
             delta.groupBy(*self.keys)
@@ -1151,7 +1191,8 @@ class KCoreMaintainer:
         )
         # Initial fixpoint: full peel from all nodes.
         all_nodes = self._ck(sym.select(F.col("src").alias("node")).distinct())
-        self.core = self._peel(all_nodes, fixed=None, bulk_first=True)
+        with micro_batch_scope(spark, self.edges.base_rows):
+            self.core = self._peel(all_nodes, fixed=None, bulk_first=True)
 
     # -- helpers ------------------------------------------------------- #
 
@@ -1278,6 +1319,12 @@ class KCoreMaintainer:
     ) -> DataFrame:
         """Apply edge insertions/deletions (src, dst); returns the core-
         membership update stream ``(node, diff)``. Valid until next call."""
+        with micro_batch_scope(self.spark):
+            return self._process_batch(insert, delete)
+
+    def _process_batch(
+        self, insert: DataFrame | None, delete: DataFrame | None
+    ) -> DataFrame:
         self._reap()
         old_core = self.core
         # ONE tagged-delta checkpoint covers both sides; the symmetrized
