@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from differential_dataflow_spark.collection import DIFF, EPOCH, DiffCollection
 from differential_dataflow_spark.session import (
+    counted_local_checkpoint,
     release_checkpoint,
     tracked_local_checkpoint,
 )
@@ -147,7 +148,17 @@ def semi_naive(
     frontier = parts[0]
     n_frontier = None  # carried from the previous round's count — no extra job
     total_count = 0  # lower bound: counts of parts[1:]; parts[0] uncounted
-    SMALL_FRONTIER = 200_000
+    # Frontier-size gate for the broadcast-tail round shape: under it the
+    # round streams the accumulated total map-side against a broadcast of
+    # the candidate set instead of exchanging+sorting the whole total.
+    # Interleaved A/B at 8M-conv scale measured the plain anti-join FASTER
+    # for ~1M-row frontiers on this host (broadcast build of multi-million-
+    # row candidate relations is serial and beats the parallel exchange only
+    # for small frontiers), so the default stays at 200k rows; env knob for
+    # clusters where executor-memory/broadcast economics differ.
+    SMALL_FRONTIER = int(
+        _os.environ.get("SPARK_GRAFT_BCAST_FRONTIER_ROWS", "200000")
+    )
     BIG_TOTAL = 500_000  # broadcast tail only pays off against a big total
     for _round in range(max_iters):
         _t0 = _time.time()
@@ -176,11 +187,16 @@ def semi_naive(
             matched = _ckpt(
                 total.join(F.broadcast(cand), key, "left_semi")
             )
-            new = _ckpt(cand.join(F.broadcast(matched), key, "left_anti"))
+            # Checkpoint fused with the convergence probe: one job instead
+            # of an eager checkpoint followed by a separate count.
+            new, n_new = counted_local_checkpoint(
+                cand.join(F.broadcast(matched), key, "left_anti")
+            )
             _release(matched)
         else:
-            new = _ckpt(cand.join(total, key, "left_anti"))
-        n_new = new.count()
+            new, n_new = counted_local_checkpoint(
+                cand.join(total, key, "left_anti")
+            )
         n_frontier = n_new
         total_count += n_new
         _release(cand)
@@ -218,10 +234,12 @@ def _semi_naive_broadcast(
         _t0 = _time.time()
         frontier_coll = DiffCollection.from_df(frontier)
         cand = expand(frontier_coll).df.select(*key)
-        new = _ckpt(cand.join(F.broadcast(total), key, "left_anti").distinct())
+        new, n_new = counted_local_checkpoint(
+            cand.join(F.broadcast(total), key, "left_anti").distinct()
+        )
         if debug:
             print(f"semi_naive round {_round}: {_time.time() - _t0:.2f}s", flush=True)
-        if new.isEmpty():
+        if n_new == 0:
             _release(new)
             if frontier is not total:
                 _release(frontier)
@@ -263,12 +281,14 @@ def iterate_keyed_min(
             .agg(F.min(value).alias("__cand"))
         )
         cur = best.select(*keys, F.col(value).alias("__cur"))
-        improved = _ckpt(
+        # Checkpoint + emptiness probe in ONE job (these loops are driver-
+        # round-floor bound; the separate isEmpty() was ~a third of a round).
+        improved, n_improved = counted_local_checkpoint(
             cand.join(cur, keys, "left")
             .filter(F.col("__cur").isNull() | (F.col("__cand") < F.col("__cur")))
             .select(*keys, F.col("__cand").alias(value))
         )
-        if improved.isEmpty():
+        if n_improved == 0:
             _release(improved)
             if frontier is not best:
                 _release(frontier)
@@ -387,9 +407,12 @@ def mutual_semi_naive(
         cand = _ckpt(
             expands[n](frontiers, totals).df.select(*keys[n]).distinct()
         )
-        new = _ckpt(cand.join(totals[n], keys[n], "left_anti"))
+        # Checkpoint fused with the per-relation convergence count: one job.
+        new, n_new = counted_local_checkpoint(
+            cand.join(totals[n], keys[n], "left_anti")
+        )
         _release(cand)
-        return n, new, new.count()
+        return n, new, n_new
 
     for _round in range(max_iters):
         totals = {n: union_of(parts[n]) for n in names}

@@ -75,6 +75,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage-codegen class cache (default 100 entries): a session
+        # that runs the full 71-query registry generates far more codegen
+        # fragments than that, so every re-run recompiled (janino) every
+        # plan. Scale-independent driver-side cache sizing.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     # Local-mode shuffles go through spark.local.dir; on a disk-backed /tmp
     # the shuffle becomes I/O-bound and stops scaling with cores. Use tmpfs
