@@ -258,6 +258,29 @@ def minhash_signature(col: Column, k: int = 64) -> Column:
     return F.array(*sigs)
 
 
+def _cap_buckets(
+    blocked: DataFrame, bucket_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Skew control for LSH blocking self-joins (the ``df_cap`` pattern from
+    :func:`ngram_jaccard_pairs`): a degenerate bucket of d members —
+    boilerplate/template documents sharing a band signature, near-zero
+    vectors, the zero chunk of short docs — contributes O(d²) candidate
+    pairs, so one 1M-id bucket would emit 5·10¹¹ rows. Buckets with more
+    than ``cap`` members are dropped from the BLOCKING step only (members
+    that share any *non-degenerate* bucket still pair; verification stays
+    exact). One id-only count aggregate, map-side combined. ``cap=None``
+    disables the guard."""
+    if cap is None:
+        return blocked
+    small = (
+        blocked.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") <= cap)
+        .select(*bucket_cols)
+    )
+    return blocked.join(small, bucket_cols, "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -266,10 +289,13 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    bucket_cap: int | None = 2048,
 ) -> DataFrame:
     """MinHash + LSH banding: candidates share >= 1 band bucket, then exact
     Jaccard verification. Shuffles: by band bucket (candidates), by pair
-    (verification) — no cross product. Output (id_a, id_b, jaccard)."""
+    (verification) — no cross product. Output (id_a, id_b, jaccard).
+    ``bucket_cap`` bounds per-(band, bucket) cardinality (see
+    :func:`_cap_buckets`)."""
     rows = k // bands
     base = _shingle_base(df, text_col, id_col, n)
     # Signature as ONE hash-aggregate pass: explode grams to rows, then k
@@ -310,6 +336,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -386,10 +413,13 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucket_cap: int | None = 2048,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming, blocked on
     16-bit chunk equality (pigeonhole: distance <= 3 over 4 chunks implies an
-    identical chunk). Output (id_a, id_b, hamming)."""
+    identical chunk). Output (id_a, id_b, hamming). ``bucket_cap`` bounds
+    per-(chunk, val) cardinality (see :func:`_cap_buckets` — ``chunk_val=0``
+    for short docs is the classic degenerate bucket here)."""
     # Persisted: the chunk self-join reads the (expensive) simhash aggregate
     # from both sides. Freed by release_all_cached / session teardown.
     base = simhash_table(df, text_col, id_col).persist()
@@ -410,6 +440,7 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk", "c.val")
+    chunks = _cap_buckets(chunks, ["chunk", "val"], bucket_cap)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cands = (

@@ -392,9 +392,15 @@ def embedding_cosine_pairs_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 2048,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: hyperplane-LSH bucket blocking + exact
     cosine rerank — the 100 TB path (recall < 1, tested vs the exact kernel).
+    ``bucket_cap`` bounds per-(table, signature) bucket cardinality — the
+    skew control of functions.dedup._cap_buckets: a degenerate bucket
+    (near-zero vectors collapsing to one signature) of d members would emit
+    O(d²) candidate rows; buckets above the cap are dropped from BLOCKING
+    only, verification stays exact.
 
     The banded self-join carries ONLY (table, signature, id) — vectors are
     re-joined by id for the exact verification, so no embedding payload rides
@@ -413,6 +419,9 @@ def embedding_cosine_pairs_lsh(
     sigs = ids_vecs.select(
         "id", F.posexplode(sig_udf(F.col("v"))).alias("table", "sig")
     )
+    from differential_dataflow_spark.functions.dedup import _cap_buckets
+
+    sigs = _cap_buckets(sigs, ["table", "sig"], bucket_cap)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

@@ -226,3 +226,68 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert {(r.query_id, r.vec_id, r.rank) for r in again.collect()} == {
         (r.query_id, r.vec_id, r.rank) for r in approx.collect()
     }
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """Adversarial skew corpus: many documents sharing one band signature
+    (identical text) would pair O(n²) through the LSH blocking self-joins.
+    With the per-bucket cardinality cap the candidate set is bounded; on a
+    normal corpus the cap (far above any honest bucket) changes nothing."""
+    from differential_dataflow_spark.functions.dedup import (
+        _cap_buckets,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    # 200 identical docs -> every band bucket has 200 members.
+    degen = _docs(spark, ["the same boilerplate text repeated verbatim"] * 200)
+    # cap below the clone count: blocking drops the degenerate buckets, so
+    # NO candidate pairs survive (bounded work, the scale contract) ...
+    assert minhash_lsh_pairs(degen, bucket_cap=64).count() == 0
+    assert simhash_pairs(degen, bucket_cap=64).count() == 0
+    # ... while the uncapped run pairs all 200 clones (199*200/2 pairs).
+    assert minhash_lsh_pairs(degen, bucket_cap=None).count() == 199 * 200 // 2
+
+    # Normal corpus: the default cap changes nothing (planted near-dups).
+    texts = []
+    for i in range(10):
+        words = [f"w{i}_{j}" for j in range(40)]
+        texts.append(" ".join(words))
+        words2 = list(words)
+        words2[5] = "CHANGED"
+        texts.append(" ".join(words2))
+    normal = _docs(spark, texts)
+    with_cap = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(normal).collect()
+    }
+    without = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(normal, bucket_cap=None).collect()
+    }
+    assert with_cap == without and with_cap
+
+    # The helper itself: bucket of 3 dropped at cap=2, kept at cap=3.
+    blocked = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7), (4, 8)], "id long, bucket long"
+    )
+    assert _cap_buckets(blocked, ["bucket"], 2).count() == 1
+    assert _cap_buckets(blocked, ["bucket"], 3).count() == 4
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """Same guard on the hyperplane-LSH pair path: identical vectors share
+    every table signature; the cap bounds the blocking self-join."""
+    from differential_dataflow_spark.functions.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    dim = 8
+    vec = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, vec) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_cosine_pairs_lsh(df, threshold=0.9, dim=dim, bucket_cap=32)
+    assert capped.count() == 0
+    uncapped = embedding_cosine_pairs_lsh(
+        df, threshold=0.9, dim=dim, bucket_cap=None
+    )
+    assert uncapped.count() == 99 * 100 // 2
