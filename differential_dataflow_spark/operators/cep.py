@@ -422,29 +422,34 @@ class AbsenceMaintainer:
         # Open anchors = carried-over pending + this batch's anchors; an
         # expected event in THIS batch closes any open anchor in its window
         # (earlier batches were already tried — arrival order guarantees
-        # the follow-up can only be here or later). One window-min per key
-        # over the batch answers every open anchor at once.
-        anchors = self.pending.unionByName(
-            ev.filter(F.col("__a")).select(*self.key, F.col("__ts").alias("t1"))
-        )
-        exp = (
-            ev.filter(F.col("__e"))
-            .groupBy(*self.key)
-            .agg(
-                F.collect_list("__ts").alias("__es")
-            )
-        )
-        # Per anchor: the earliest batch follow-up strictly after t1 (array
-        # filter + min — the per-key follow-up list is batch-sized).
-        closed_or_open = anchors.join(exp, self.key, "left").select(
+        # the follow-up can only be here or later). Pending anchors are
+        # interleaved as rows (__e = false) with the batch events and every
+        # open anchor reads its earliest strictly-later batch follow-up
+        # from ONE conditional window-min — the same ``_strictly_after``
+        # idiom as the batch :func:`absence`. (The previous shape built a
+        # collect_list of ALL expected timestamps per key per batch — an
+        # unbounded in-memory array under a hot key; the window spills
+        # gracefully instead.) Watermark discipline makes every pending t1
+        # strictly earlier than every batch event, so the strict range
+        # frame is exact for carried-over anchors too.
+        pend_rows = self.pending.select(
             *self.key,
-            "t1",
-            F.array_min(
-                F.filter(
-                    F.coalesce("__es", F.array()),
-                    lambda x: x > F.col("t1"),
-                )
-            ).alias("__nxt"),
+            F.col("t1").alias("__ts"),
+            F.lit(True).alias("__a"),
+            F.lit(False).alias("__e"),
+        )
+        allrows = ev.select(*self.key, "__ts", "__a", "__e").unionByName(
+            pend_rows
+        )
+        closed_or_open = (
+            allrows.withColumn(
+                "__nxt",
+                F.min(F.when(F.col("__e"), F.col("__ts"))).over(
+                    _strictly_after(self.key)
+                ),
+            )
+            .filter(F.col("__a"))
+            .select(*self.key, F.col("__ts").alias("t1"), "__nxt")
         )
         survives = closed_or_open.filter(
             F.col("__nxt").isNull() | (F.col("__nxt") > F.col("t1") + F.lit(self.gap))

@@ -1287,15 +1287,26 @@ class KCoreMaintainer:
         rounds = 0
         for _ in range(self.max_iters):
             if bulk_first and first:
-                deg = self._degrees_within(None, None)
+                # Bulk round: deg covers EVERY node (O(graph)) — never
+                # broadcast; the planner/AQE handles it.
+                keep = self._degrees_within(None, None).filter(
+                    F.col("deg") >= self.k
+                )
             else:
                 members = cur if fixed is None else cur.unionByName(fixed)
-                deg = self._degrees_within(frontier, members)
+                # deg is FRONTIER-bounded (degrees of the checked nodes
+                # only), so broadcasting it keeps the lazy frontier chain
+                # off the exchange (without the hint the anti-join planned
+                # sort-merge and AQE only converted after both map stages
+                # ran — extra stage jobs on a driver-floor-bound loop).
+                keep = F.broadcast(
+                    self._degrees_within(frontier, members).filter(
+                        F.col("deg") >= self.k
+                    )
+                )
             first = False
             drop, n_drop = self._ckn(
-                frontier.join(
-                    deg.filter(F.col("deg") >= self.k), ["node"], "left_anti"
-                )
+                frontier.join(keep, ["node"], "left_anti")
             )
             if n_drop == 0:
                 return self._ck(cur) if rounds else candidates
@@ -1396,8 +1407,11 @@ class KCoreMaintainer:
             def eligible(nodes: DataFrame) -> DataFrame:
                 cand = nodes.join(core, ["node"], "left_anti")
                 deg = self._degrees_within(cand, members=None)  # total degree
+                # deg is candidate-bounded — broadcast (see _peel).
                 return cand.join(
-                    deg.filter(F.col("deg") >= self.k), ["node"], "left_semi"
+                    F.broadcast(deg.filter(F.col("deg") >= self.k)),
+                    ["node"],
+                    "left_semi",
                 )
 
             seeds, n_seeds = self._ckn(
