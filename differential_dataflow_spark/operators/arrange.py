@@ -105,11 +105,24 @@ class Arrangement:
         into the spine either)."""
         df = updates.consolidate().df
         bounds = df.agg(
-            F.min(EPOCH).alias("lo"), F.max(EPOCH).alias("hi")
+            F.min(EPOCH).alias("lo"),
+            F.max(EPOCH).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         if bounds["lo"] is None:
             return  # fully-cancelled batch: nothing to seal
-        parts = self.num_partitions or self.spark.sparkContext.defaultParallelism
+        # File sizing from the BATCH SIZE, not the core count (guide §6):
+        # a small sealed batch written across defaultParallelism partitions
+        # produced one tiny parquet file per core — listing/open overhead on
+        # every later read. ~256k rows per file, capped at the session
+        # parallelism for genuinely large batches.
+        parts = self.num_partitions or max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                int(bounds["n"]) // 262_144 + 1,
+            ),
+        )
         df = df.repartition(parts, *self.key)
         df.write.mode("append").parquet(str(self.root / "data"))
         self.batches.append(
@@ -137,7 +150,16 @@ class Arrangement:
             .agg(F.sum(DIFF).alias(DIFF))
             .filter(F.col(DIFF) != 0)
         )
-        parts = self.num_partitions or self.spark.sparkContext.defaultParallelism
+        # File sizing from the trace size (guide §6) — same rule as
+        # insert_batch; the count is one extra job on the (amortized-rare)
+        # compaction path.
+        parts = self.num_partitions or max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                compacted.count() // 262_144 + 1,
+            ),
+        )
         # Crash-safe rewrite: stage the compacted trace beside data/, then
         # atomically swap directories (same filesystem => os.rename is atomic)
         # and update the manifest LAST. A crash at any point leaves either the

@@ -1082,9 +1082,13 @@ class CountMaintainer:
                 .groupBy(*self.keys)
                 .agg(F.sum(DIFF).alias("__old"))
             )
+        # ``old`` is DELTA-bounded (per-key sums of only the touched keys),
+        # so pin it as the broadcast build side: the left-outer join then
+        # streams the delta map-side instead of waiting for AQE to convert
+        # a planned sort-merge after both exchanges ran.
         st = (
             d.withColumnRenamed(DIFF, "__dn")
-            .join(old, self.keys, "left")
+            .join(F.broadcast(old), self.keys, "left")
             .select(
                 *self.keys,
                 F.coalesce("__old", F.lit(0)).alias("__old"),
