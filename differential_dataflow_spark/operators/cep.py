@@ -65,6 +65,17 @@ def funnel(
     Rows whose chain does not complete are dropped. Binding to the earliest
     qualifying event makes every output value a group-min — deterministic
     regardless of partitioning or tie order.
+
+    Duplicate-anchor cardinality contract: two step-1 EVENTS with the same
+    (key, timestamp) bind identical chains. A 2-step funnel emits one row
+    PER ANCHOR EVENT (this path never groups), while 3+-step funnels
+    collapse identical chains through the per-chain ``groupBy`` — i.e. for
+    n >= 3 outputs are per DISTINCT chain. ``FunnelMaintainer`` follows the
+    n >= 3 (distinct-chain) semantics at every length. Exact-duplicate
+    events are a degenerate input (real streams carry a tiebreaking event
+    id in the key or timestamp); the asymmetry is documented and pinned in
+    pytest rather than papered over with a dedup pass every caller would
+    pay for.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")

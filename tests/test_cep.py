@@ -327,3 +327,37 @@ def test_absence_batch_and_streaming_parity(spark):
     assert got == {
         (k, t1) for (k, t1) in want if last_ts > t1 + within * 1_000_000
     }
+
+
+def test_funnel_duplicate_anchor_cardinality_contract(spark):
+    """Pin the documented duplicate-anchor contract: with two identical
+    step-1 events (same key, same microsecond), the 2-step batch funnel
+    emits one row per anchor EVENT; 3+-step funnels and FunnelMaintainer
+    emit one row per DISTINCT chain."""
+    from differential_dataflow_spark.operators.cep import (
+        FunnelMaintainer,
+        funnel,
+    )
+
+    rows = [
+        (1, 1_000_000, "a"),
+        (1, 1_000_000, "a"),  # exact duplicate anchor
+        (1, 2_000_000, "b"),
+        (1, 3_000_000, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, tsu long, etype string").select(
+        "k", F.timestamp_micros(F.col("tsu")).alias("ts"), "etype"
+    )
+    t = F.col("etype")
+    two = funnel(df, ["k"], "ts", [t == "a", t == "b"], within_sec=10)
+    assert two.count() == 2  # per anchor event
+    three = funnel(
+        df, ["k"], "ts", [t == "a", t == "b", t == "c"], within_sec=10
+    )
+    assert three.count() == 1  # per distinct chain
+    fm = FunnelMaintainer(
+        spark, ["k"], "ts", [t == "a", t == "b"], within_sec=10
+    )
+    out = fm.process_batch(df)
+    assert out.count() == 1  # maintainer: distinct-chain semantics
+    fm.release()
