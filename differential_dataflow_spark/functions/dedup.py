@@ -47,10 +47,42 @@ def normalized(col: Column | str) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition_min_bytes: int = 2 << 20,
 ) -> DataFrame:
     """One row per distinct normalized text: keeper = min id, with the count
-    of duplicates. Output: (keeper_id, n_dups)."""
+    of duplicates. Output: (keeper_id, n_dups).
+
+    The normalize+hash pipeline runs in the scan stage, so its parallelism
+    is the INPUT SPLIT count: a corpus packed into few splits (small files +
+    open-cost packing) serializes the regexp on a handful of cores while the
+    groupBy itself only ships (hash, partial-agg) rows. When the scan is
+    split-starved AND carries enough bytes for the regexp to matter
+    (``repartition_min_bytes``, default 2 MB of input files), repartition
+    the raw rows first — the :func:`_shingle_base` guard, made conditional
+    both ways: a warehouse scan with thousands of splits never pays an
+    extra shuffle of the text bytes, and a trivially small corpus keeps its
+    one-task plan (measured: a 50k-doc single-split corpus 16.9 s -> ~1 s;
+    the 5k-doc sf0.1 corpus stays on the exchange-free plan)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive, e.g. un-plannable df
+        n_in = par
+    if n_in < max(2, par // 2):
+        try:
+            import os as _os
+            from urllib.parse import urlparse
+
+            sz = sum(
+                _os.path.getsize(urlparse(p).path) for p in df.inputFiles()
+            )
+        except Exception:
+            sz = None  # non-local files: listing says split-starved, trust it
+        if sz is None or sz >= repartition_min_bytes:
+            df = df.repartition(par)
     return (
         df.groupBy(F.xxhash64(normalized(text_col)).alias("text_hash"))
         .agg(

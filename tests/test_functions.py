@@ -60,6 +60,30 @@ def test_exact_dedup_planted(spark):
     assert got == [(0, 2), (2, 1)]  # normalization folds case+whitespace
 
 
+def test_exact_dedup_split_starved_input_parity(spark, tmp_path):
+    """The split-starved guard (repartition when the scan arrives with few
+    partitions and enough bytes) must not change results: a 1-file parquet
+    scan with the byte threshold forced to 0 takes the repartition branch,
+    a many-partition input skips it, outputs equal."""
+    from differential_dataflow_spark.functions.dedup import exact_dedup
+
+    texts = [f"doc {i % 37} body" for i in range(200)]
+    path = str(tmp_path / "docs.parquet")
+    _docs(spark, texts).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert scan.rdd.getNumPartitions() == 1
+    got_starved = sorted(
+        (r.keeper_id, r.n_copies)
+        for r in exact_dedup(scan, repartition_min_bytes=0).collect()
+    )
+    got_many = sorted(
+        (r.keeper_id, r.n_copies)
+        for r in exact_dedup(scan.repartition(64)).collect()
+    )
+    assert got_starved == got_many
+    assert len(got_starved) == 37
+
+
 def test_minhash_lsh_recall_vs_exact(spark, tmp_path):
     from differential_dataflow_spark.functions.dedup import (
         minhash_lsh_pairs,
