@@ -65,24 +65,34 @@ def exact_dedup(
     both ways: a warehouse scan with thousands of splits never pays an
     extra shuffle of the text bytes, and a trivially small corpus keeps its
     one-task plan (measured: a 50k-doc single-split corpus 16.9 s -> ~1 s;
-    the 5k-doc sf0.1 corpus stays on the exchange-free plan)."""
+    the 5k-doc sf0.1 corpus stays on the exchange-free plan). The probe is
+    the scan's FILE LISTING only (~20 ms, already cached by the session's
+    FileIndex); split count is estimated with Spark's default packing rule
+    — ``df.rdd.getNumPartitions()`` would be exact but compiles the whole
+    physical plan (~60-150 ms per call, measured)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_in = df.rdd.getNumPartitions()
+        files = df.inputFiles()
     except Exception:  # pragma: no cover - defensive, e.g. un-plannable df
-        n_in = par
-    if n_in < max(2, par // 2):
-        try:
-            import os as _os
-            from urllib.parse import urlparse
+        files = []
+    if files:
+        import os as _os
+        from urllib.parse import urlparse
 
-            sz = sum(
-                _os.path.getsize(urlparse(p).path) for p in df.inputFiles()
+        try:
+            total = sum(
+                _os.path.getsize(urlparse(p).path or p) for p in files
             )
-        except Exception:
-            sz = None  # non-local files: listing says split-starved, trust it
-        if sz is None or sz >= repartition_min_bytes:
-            df = df.repartition(par)
+        except OSError:
+            total = None  # non-local filesystem: cannot stat, leave alone
+        if total is not None and total >= repartition_min_bytes:
+            # Spark's split packing: files are charged openCostInBytes each
+            # and packed into maxPartitionBytes bins (defaults 4 MB/128 MB;
+            # the sessions here never override them — an estimate is enough,
+            # the decision only needs "far fewer splits than cores").
+            est_splits = (total + 4_194_304 * len(files)) // 134_217_728 + 1
+            if est_splits < max(2, par // 2):
+                df = df.repartition(par)
     return (
         df.groupBy(F.xxhash64(normalized(text_col)).alias("text_hash"))
         .agg(
